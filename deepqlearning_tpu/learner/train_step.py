@@ -1,0 +1,158 @@
+"""Fused TD train steps (feed-forward DQN and recurrent DRQN).
+
+One jitted function does what the reference spreads across
+``batch_train!`` + Flux/Zygote + the priority update
+(``src/solver.jl:191-287``): sample → Bellman targets (double-Q or max) →
+importance-weighted Huber loss → grad (+ optional ``pmean`` over the data
+axis) → Adam → PER priority update. XLA fuses the whole thing; no host
+round-trips.
+
+Math parity notes:
+  * targets are computed outside the gradient tape (stop-gradient semantics
+    of ``src/solver.jl:209-217``);
+  * IS weights multiply the TD error *before* the Huber, and are not
+    max-normalized (``src/solver.jl:223``);
+  * loss = sum(huber(w*td)) / batch_size (``src/solver.jl:223-224``); the
+    recurrent loss additionally divides by trace_length
+    (``src/solver.jl:273-282``) and masks invalid steps;
+  * grad metric = max-abs entry (``globalnorm``, ``src/helpers.jl:38-46``);
+  * optimizer = Adam with Flux defaults (β=(0.9, 0.999), ε=1e-8).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.helpers import globalnorm, huber_loss
+
+
+class TrainResult(NamedTuple):
+    params: any
+    opt_state: any
+    replay_state: any
+    loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float):
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def _bellman_targets(network, params, target_params, next_obs, reward, done,
+                     gamma, double_q, net_state=None, target_net_state=None):
+    """r + (1-done) * gamma * Q_target(s', a*) with a* from the online net
+    (double-Q, ``src/solver.jl:209-213``) or plain max (``:215``)."""
+    q_tgt, _ = network.apply(target_params, next_obs, target_net_state)
+    if double_q:
+        q_onl, _ = network.apply(params, next_obs, net_state)
+        best = jnp.argmax(q_onl, axis=-1)
+        q_sp_max = jnp.take_along_axis(q_tgt, best[..., None], axis=-1)[..., 0]
+    else:
+        q_sp_max = jnp.max(q_tgt, axis=-1)
+    return reward + (1.0 - done) * gamma * q_sp_max
+
+
+def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
+                        learning_rate: float, axis_name: Optional[str] = None):
+    """Feed-forward path. Returns
+    ``step(params, target_params, opt_state, replay_state, key) -> TrainResult``.
+    """
+    optimizer = make_optimizer(learning_rate)
+    B = buffer.batch_size
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch, idx, weights = buffer.sample(replay_state, key)
+        q_targets = _bellman_targets(
+            network, params, target_params, batch.next_obs,
+            batch.reward, batch.done, gamma, double_q,
+        )
+
+        def loss_fn(p):
+            q, _ = network.apply(p, batch.obs)
+            q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
+            td = q_sa - q_targets
+            loss = jnp.sum(huber_loss(weights * td)) / B
+            return loss, td
+
+        (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        grad_norm = globalnorm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        replay_state = buffer.update_priorities(replay_state, idx, td)
+        return TrainResult(params, opt_state, replay_state, loss, grad_norm)
+
+    return step, optimizer
+
+
+def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
+                         learning_rate: float, axis_name: Optional[str] = None):
+    """Recurrent path: ``lax.scan`` over the trace axis replaces the
+    reference's stateful per-timestep unroll (``src/solver.jl:258-281``).
+    No PER on this path, as in the reference (``src/solver.jl:285``).
+    """
+    optimizer = make_optimizer(learning_rate)
+    B, T = buffer.batch_size, buffer.trace_length
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch = buffer.sample(replay_state, key)
+        # time-major [T, B, ...]
+        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        obs_t, a_t = tm(batch.obs), tm(batch.action)
+        r_t, d_t, m_t = tm(batch.reward), tm(batch.done), tm(batch.mask)
+        nobs_t = tm(batch.next_obs)
+        init_state = network.init_state(B)
+
+        # --- targets: unroll online+target nets over s' (Flux.reset! then
+        # stateful loop, src/solver.jl:249-269) ---
+        def tgt_scan(carry, sp):
+            onl_s, tgt_s = carry
+            q_onl, onl_s = network.apply(params, sp, onl_s)
+            q_tgt, tgt_s = network.apply(target_params, sp, tgt_s)
+            return (onl_s, tgt_s), (q_onl, q_tgt)
+
+        _, (q_onl_seq, q_tgt_seq) = jax.lax.scan(
+            tgt_scan, (init_state, init_state), nobs_t
+        )
+        if double_q:
+            best = jnp.argmax(q_onl_seq, axis=-1)
+            q_sp_max = jnp.take_along_axis(q_tgt_seq, best[..., None], -1)[..., 0]
+        else:
+            q_sp_max = jnp.max(q_tgt_seq, axis=-1)
+        q_targets = r_t + (1.0 - d_t) * gamma * q_sp_max  # [T, B]
+
+        # --- masked time-summed loss (src/solver.jl:273-282) ---
+        def loss_fn(p):
+            def loss_scan(carry, inp):
+                s, a, tgt, m = inp
+                q, carry = network.apply(p, s, carry)
+                q_sa = jnp.take_along_axis(q, a[:, None], -1)[:, 0]
+                td = q_sa - tgt
+                return carry, jnp.sum(huber_loss(m * td)) / B
+
+            _, per_t = jax.lax.scan(
+                loss_scan, init_state, (obs_t, a_t, q_targets, m_t)
+            )
+            return jnp.sum(per_t) / T
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        grad_norm = globalnorm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return TrainResult(params, opt_state, replay_state, loss, grad_norm)
+
+    return step, optimizer
+
+
+def sync_target(params, target_params, do_sync):
+    """Hard target copy when ``do_sync`` (``Flux.loadparams!`` at
+    ``src/solver.jl:142-145``), as a fused select so it stays inside jit."""
+    return jax.tree_util.tree_map(
+        lambda p, t: jnp.where(do_sync, p, t), params, target_params
+    )

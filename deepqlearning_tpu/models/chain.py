@@ -1,0 +1,214 @@
+"""Pure-functional layer stack ("Chain") for Q-networks.
+
+The reference builds Q-networks as Flux ``Chain``s of ``Dense``/``LSTM``
+layers (``test/runtests.jl:47,117``). Here a layer is a *static* frozen
+dataclass describing shapes; parameters and recurrent state are explicit
+pytrees threaded through pure ``apply`` functions — the idiomatic JAX design
+(everything jit/vmap/scan-able, nothing stateful).
+
+Conventions:
+  * batch-first: inputs are ``[batch, features...]``.
+  * ``apply(params, x, state) -> (y, new_state)`` where ``state`` is a tuple
+    with one entry per layer — ``()`` for stateless layers, ``(h, c)`` for
+    LSTM. This replaces Flux's hidden mutable ``Recur`` state
+    (``src/helpers.jl:61-79``) with explicit state the caller carries, so
+    there is nothing to save/restore around train updates
+    (cf. reference ``src/solver.jl:137-139``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _glorot_uniform(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+@dataclasses.dataclass(frozen=True)
+class Dense:
+    """Affine layer with optional fused activation.
+
+    Mirrors Flux ``Dense(in, out, act)``. Matmuls accumulate in float32 for
+    MXU correctness (``preferred_element_type``), then cast back to the input
+    dtype so bf16 activations stay bf16 end-to-end.
+    """
+
+    in_dim: int
+    out_dim: int
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+
+    def init(self, key, dtype=jnp.float32):
+        kw, kb = jax.random.split(key)
+        params = {"w": _glorot_uniform(kw, (self.in_dim, self.out_dim), dtype)}
+        if self.use_bias:
+            params["b"] = jnp.zeros((self.out_dim,), dtype)
+        return params
+
+    def apply(self, params, x):
+        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + params["b"].astype(jnp.float32)
+        if self.activation is not None:
+            y = self.activation(y)
+        return y.astype(x.dtype)
+
+    @property
+    def recurrent(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class Flatten:
+    """Flatten all but the leading batch axis (``flattenbatch`` as a layer).
+
+    Reference nets start with ``x -> flattenbatch(x)`` (``test/runtests.jl:47``).
+    """
+
+    def init(self, key, dtype=jnp.float32):
+        return {}
+
+    def apply(self, params, x):
+        return x.reshape((x.shape[0], -1))
+
+    @property
+    def recurrent(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class Activation:
+    """Standalone elementwise activation layer."""
+
+    fn: Callable
+
+    def init(self, key, dtype=jnp.float32):
+        return {}
+
+    def apply(self, params, x):
+        return self.fn(x)
+
+    @property
+    def recurrent(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class LSTM:
+    """Single-step LSTM cell (the recurrent unit behind reference DRQN,
+    ``test/runtests.jl:117``).
+
+    One fused ``[in+hidden, 4H]`` matmul per step keeps the MXU busy; the
+    gate math runs on the VPU and XLA fuses it into the matmul epilogue.
+    State is ``(h, c)`` each ``[batch, hidden]``; unrolling over time is the
+    caller's ``lax.scan``.
+    """
+
+    in_dim: int
+    hidden: int
+
+    def init(self, key, dtype=jnp.float32):
+        ki, kh = jax.random.split(key)
+        b = jnp.zeros((4 * self.hidden,), dtype)
+        # forget-gate bias 1.0 (standard; helps early gradient flow)
+        b = b.at[self.hidden : 2 * self.hidden].set(1.0)
+        return {
+            "wi": _glorot_uniform(ki, (self.in_dim, 4 * self.hidden), dtype),
+            "wh": _glorot_uniform(kh, (self.hidden, 4 * self.hidden), dtype),
+            "b": b,
+        }
+
+    def init_state(self, batch_size: int, dtype=jnp.float32):
+        return (
+            jnp.zeros((batch_size, self.hidden), dtype),
+            jnp.zeros((batch_size, self.hidden), dtype),
+        )
+
+    def apply(self, params, x, state):
+        h, c = state
+        gates = (
+            jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
+            + jnp.dot(h, params["wh"], preferred_element_type=jnp.float32)
+            + params["b"].astype(jnp.float32)
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f) * c.astype(jnp.float32) + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        new_h = new_h.astype(x.dtype)
+        new_c = new_c.astype(x.dtype)
+        return new_h, (new_h, new_c)
+
+    @property
+    def recurrent(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class Chain:
+    """Sequential container; the JAX analog of a Flux ``Chain``.
+
+    ``apply(params, x, state)`` threads per-layer recurrent state explicitly.
+    An empty chain is the identity (used as the base of an all-Dense dueling
+    split, cf. reference ``src/dueling.jl:55``).
+    """
+
+    layers: Tuple = ()
+
+    def __init__(self, *layers):
+        if len(layers) == 1 and isinstance(layers[0], tuple):
+            layers = layers[0]
+        object.__setattr__(self, "layers", tuple(layers))
+
+    def init(self, key, dtype=jnp.float32):
+        keys = jax.random.split(key, max(1, len(self.layers)))
+        return tuple(l.init(k, dtype) for l, k in zip(self.layers, keys))
+
+    def init_state(self, batch_size: int, dtype=jnp.float32):
+        return tuple(
+            l.init_state(batch_size, dtype) if l.recurrent else ()
+            for l in self.layers
+        )
+
+    def apply(self, params, x, state=None):
+        if state is None:
+            if self.recurrent:
+                raise ValueError(
+                    "recurrent Chain requires explicit state; call init_state()"
+                )
+            state = self.init_state(x.shape[0])
+        new_state = []
+        for layer, p, s in zip(self.layers, params, state):
+            if layer.recurrent:
+                x, s = layer.apply(p, x, s)
+            else:
+                x = layer.apply(p, x)
+            new_state.append(s)
+        return x, tuple(new_state)
+
+    @property
+    def recurrent(self) -> bool:
+        return any(l.recurrent for l in self.layers)
+
+    @property
+    def out_dim(self) -> Optional[int]:
+        for l in reversed(self.layers):
+            if isinstance(l, Dense):
+                return l.out_dim
+            if isinstance(l, LSTM):
+                return l.hidden
+        return None
+
+
+def isrecurrent(network) -> bool:
+    """True if the network contains a recurrent layer.
+
+    Parity with reference ``isrecurrent`` (``src/helpers.jl:25-32``).
+    """
+    return bool(network.recurrent)

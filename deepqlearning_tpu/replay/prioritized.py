@@ -1,0 +1,141 @@
+"""Prioritized (and uniform) experience replay living entirely in HBM.
+
+The reference buffer (``src/prioritized_experience_replay.jl``) is a host-side
+ring of Julia structs with O(N) weighted sampling. Here the buffer is a pytree
+of fixed-shape device arrays: batched ring insert is one scatter, sampling is
+a batched O(log N) sum-tree descent (``ops/sumtree.py``), priority updates are
+a scatter + tree rebuild — everything inside ``jit``, nothing touches the
+host.
+
+Math parity with the reference:
+  * priority at insert = ``(|r| + eps)^alpha``  (``add_exp!`` with td=|r|,
+    ``src/solver.jl:92`` + ``src/prioritized_experience_replay.jl:67``)
+  * priority at update = ``(|td| + eps)^alpha`` (``:77``)
+  * IS weights = ``(N * p/total)^(-beta)``      (``:101-102``), *not*
+    max-normalized, matching the reference exactly.
+  * uniform replay = constant priorities, no updates, unit weights — the
+    reference implements non-prioritized replay the same way
+    (priority ``(0+eps)^alpha`` at insert, ``src/solver.jl:94``).
+
+Deviation (documented, SURVEY.md §7(a)): sampling is stratified
+with-replacement instead of weighted without-replacement.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sumtree
+from .transition import TransitionBatch
+
+
+class ReplayState(NamedTuple):
+    """Device-resident replay buffer state (a pytree; carry it through jit)."""
+
+    obs: jnp.ndarray       # [C, *obs_shape]
+    action: jnp.ndarray    # [C] int32
+    reward: jnp.ndarray    # [C] float32
+    next_obs: jnp.ndarray  # [C, *obs_shape]
+    done: jnp.ndarray      # [C] float32
+    tree: jnp.ndarray      # [2 * cap2] sum-tree (cap2 = next pow2 >= C)
+    insert_pos: jnp.ndarray  # int32 scalar
+    size: jnp.ndarray        # int32 scalar
+
+
+class PrioritizedReplayBuffer:
+    """Static descriptor + pure ops for a PER buffer.
+
+    ``alpha=0`` together with ``prioritized=False`` gives uniform replay with
+    unit IS weights (reference behavior for ``prioritized_replay=false``).
+    """
+
+    def __init__(
+        self,
+        obs_shape: Tuple[int, ...],
+        max_size: int,
+        batch_size: int,
+        alpha: float = 0.6,
+        beta: float = 0.4,
+        eps: float = 1e-3,
+        prioritized: bool = True,
+        obs_dtype=jnp.float32,
+    ):
+        self.obs_shape = tuple(obs_shape)
+        self.max_size = int(max_size)
+        self.batch_size = int(batch_size)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.eps = float(eps)
+        self.prioritized = bool(prioritized)
+        self.obs_dtype = obs_dtype
+
+    # ------------------------------------------------------------------
+    def init(self) -> ReplayState:
+        C = self.max_size
+        return ReplayState(
+            obs=jnp.zeros((C,) + self.obs_shape, self.obs_dtype),
+            action=jnp.zeros((C,), jnp.int32),
+            reward=jnp.zeros((C,), jnp.float32),
+            next_obs=jnp.zeros((C,) + self.obs_shape, self.obs_dtype),
+            done=jnp.zeros((C,), jnp.float32),
+            tree=sumtree.init_tree(C),
+            insert_pos=jnp.asarray(0, jnp.int32),
+            size=jnp.asarray(0, jnp.int32),
+        )
+
+    def _initial_priority(self, reward: jnp.ndarray) -> jnp.ndarray:
+        if self.prioritized:
+            return (jnp.abs(reward) + self.eps) ** self.alpha
+        return jnp.full_like(reward, self.eps**self.alpha)
+
+    def insert(self, state: ReplayState, batch: TransitionBatch) -> ReplayState:
+        """Ring-insert a batch of E transitions (one fused scatter per field)."""
+        E = batch.action.shape[0]
+        idx = (state.insert_pos + jnp.arange(E, dtype=jnp.int32)) % self.max_size
+        prio = self._initial_priority(batch.reward)
+        return ReplayState(
+            obs=state.obs.at[idx].set(batch.obs.astype(self.obs_dtype)),
+            action=state.action.at[idx].set(batch.action.astype(jnp.int32)),
+            reward=state.reward.at[idx].set(batch.reward.astype(jnp.float32)),
+            next_obs=state.next_obs.at[idx].set(batch.next_obs.astype(self.obs_dtype)),
+            done=state.done.at[idx].set(batch.done.astype(jnp.float32)),
+            tree=sumtree.set_priorities(state.tree, idx, prio),
+            insert_pos=(state.insert_pos + E) % self.max_size,
+            size=jnp.minimum(state.size + E, self.max_size),
+        )
+
+    def sample(self, state: ReplayState, key):
+        """Sample a batch; returns (TransitionBatch, indices, is_weights)."""
+        idx, prio = sumtree.sample(state.tree, key, self.batch_size)
+        batch = TransitionBatch(
+            obs=state.obs[idx].astype(jnp.float32),
+            action=state.action[idx],
+            reward=state.reward[idx],
+            next_obs=state.next_obs[idx].astype(jnp.float32),
+            done=state.done[idx],
+        )
+        if self.prioritized:
+            p = prio / sumtree.total(state.tree)
+            weights = (state.size.astype(jnp.float32) * p) ** (-self.beta)
+        else:
+            weights = jnp.ones((self.batch_size,), jnp.float32)
+        return batch, idx, weights
+
+    def update_priorities(
+        self, state: ReplayState, indices: jnp.ndarray, td_errors: jnp.ndarray
+    ) -> ReplayState:
+        """Parity with ``update_priorities!`` (``src/prioritized_experience_replay.jl:76-80``)."""
+        if not self.prioritized:
+            return state
+        prio = (jnp.abs(td_errors) + self.eps) ** self.alpha
+        return state._replace(tree=sumtree.set_priorities(state.tree, indices, prio))
+
+
+def ReplayBuffer(obs_shape, max_size, batch_size, obs_dtype=jnp.float32):
+    """Uniform replay buffer — PER with constant priorities (reference trick,
+    ``src/solver.jl:94``)."""
+    return PrioritizedReplayBuffer(
+        obs_shape, max_size, batch_size, prioritized=False, obs_dtype=obs_dtype
+    )
