@@ -1,0 +1,106 @@
+"""Benchmark: aggregate env-steps/s of the full actor-learner loop on one chip.
+
+Headline config from BASELINE.json: SimpleGridWorld, 4096 vectorized envs,
+prioritized sum-tree replay + IS weights, dueling double-DQN learner — the
+complete loop (ε-greedy act → vmapped env step → batched PER insert →
+stratified sum-tree sample → fused TD update → priority update) fully jitted.
+Target: ≥ 1M env-steps/s aggregate (vs_baseline = value / 1e6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    from deepqlearning_tpu import (
+        Chain,
+        Dense,
+        DQNConfig,
+        Flatten,
+        SimpleGridWorld,
+        create_dueling_network,
+    )
+    from deepqlearning_tpu.learner.actor import init_actor
+    from deepqlearning_tpu.learner.loop import LoopCarry, build_loop
+    from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
+    from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
+
+    num_envs = 256 if small else 4096
+    buffer_size = 1 << (12 if small else 17)
+    batch_size = 512
+    n_iters = 20 if small else 100
+
+    env = SimpleGridWorld()
+    chain = Chain(Flatten(), Dense(2, 64, jnp.tanh), Dense(64, 64, jnp.tanh),
+                  Dense(64, env.num_actions))
+    network = create_dueling_network(chain)
+    cfg = DQNConfig(
+        num_envs=num_envs, batch_size=batch_size, buffer_size=buffer_size,
+        train_freq=num_envs,  # 1 fused update per lockstep sweep
+        max_episode_length=100, double_q=True, dueling=True,
+        prioritized_replay=True,
+    )
+    buffer = PrioritizedReplayBuffer(
+        env.obs_shape, cfg.buffer_size, cfg.batch_size,
+        alpha=cfg.prioritized_replay_alpha, beta=cfg.prioritized_replay_beta,
+        eps=cfg.prioritized_replay_epsilon, prioritized=True,
+    )
+    iteration, populate_step, optimizer = build_loop(
+        env, network, buffer, cfg, LinearDecaySchedule(1.0, 0.01, 100_000),
+        gamma=env.discount,
+    )
+
+    key = jax.random.PRNGKey(0)
+    k_init, k_act, k_learn = jax.random.split(key, 3)
+    params = network.init(k_init)
+    actor = init_actor(env, network, num_envs, k_act)
+    carry = LoopCarry(
+        actor=actor, replay=buffer.init(), params=params,
+        target_params=params, opt_state=optimizer.init(params),
+        lkey=k_learn, loss=jnp.asarray(0.0), gnorm=jnp.asarray(0.0),
+    )
+
+    @jax.jit
+    def run(carry):
+        carry, _ = jax.lax.scan(iteration, carry, None, length=n_iters)
+        return carry
+
+    # warm-up: fill replay + compile
+    @jax.jit
+    def populate(carry):
+        actor, replay, params = carry.actor, carry.replay, carry.params
+        (actor, replay, params), _ = jax.lax.scan(
+            populate_step, (actor, replay, params), None, length=2
+        )
+        return carry._replace(actor=actor, replay=replay)
+
+    carry = populate(carry)
+    carry = run(carry)
+    jax.block_until_ready(carry.loss)
+
+    # timed runs
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        carry = run(carry)
+    jax.block_until_ready(carry.loss)
+    dt = time.perf_counter() - t0
+
+    steps = reps * n_iters * cfg.env_steps_per_iter
+    sps = steps / dt
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1e6, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,12 +23,8 @@ import jax.numpy as jnp
 
 from ..config import DQNConfig
 from ..envs.base import Env
-from ..learner.actor import ActorState, avg_recent, init_actor, make_collect_step
-from ..learner.train_step import (
-    make_dqn_train_step,
-    make_drqn_train_step,
-    sync_target,
-)
+from ..learner.actor import ActorState, avg_recent, init_actor
+from ..learner.loop import LoopCarry, build_loop
 from ..models.chain import isrecurrent
 from ..models.dueling import create_dueling_network
 from ..replay.episode import EpisodeReplayBuffer
@@ -126,29 +122,15 @@ class DeepQLearningSolver:
         params = network.init(k_init)
         target_params = params
 
-        if cfg.recurrence:
-            train_step, optimizer = make_drqn_train_step(
-                network, buffer, gamma, cfg.double_q, cfg.learning_rate
-            )
-            insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
-        else:
-            train_step, optimizer = make_dqn_train_step(
-                network, buffer, gamma, cfg.double_q, cfg.learning_rate
-            )
-            insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
-        opt_state = optimizer.init(params)
-
         eps_fn = (
             self.exploration_policy.eps
             if hasattr(self.exploration_policy, "eps")
             else self.exploration_policy
         )
-        collect_step = make_collect_step(
-            env, network, cfg.max_episode_length, eps_fn, insert_fn
+        iteration, populate_step, optimizer = build_loop(
+            env, network, buffer, cfg, eps_fn, gamma
         )
-        populate_step = make_collect_step(
-            env, network, cfg.max_episode_length, lambda t: jnp.asarray(1.0), insert_fn
-        )
+        opt_state = optimizer.init(params)
 
         # --- pre-fill replay with a random policy
         # (initialize_replay_buffer, src/solver.jl:180-189) ---
@@ -171,25 +153,6 @@ class DeepQLearningSolver:
         if cfg.recurrence:
             replay = replay._replace(acc_len=jnp.zeros_like(replay.acc_len))
 
-        # --- the jitted iteration: collect → train → maybe-sync-target ---
-        tuf = cfg.target_update_freq
-
-        def iteration(carry, _):
-            actor, replay, params, target_params, opt_state, lkey, loss, gnorm = carry
-            (actor, replay, params), _ = jax.lax.scan(
-                collect_step, (actor, replay, params), None,
-                length=cfg.steps_per_iter,
-            )
-            for _ in range(cfg.updates_per_iter):
-                lkey, k = jax.random.split(lkey)
-                res = train_step(params, target_params, opt_state, replay, k)
-                params, opt_state, replay = res.params, res.opt_state, res.replay_state
-                loss, gnorm = res.loss, res.grad_norm
-            prev_t = actor.t - cfg.env_steps_per_iter
-            do_sync = (actor.t // tuf) > (prev_t // tuf)
-            target_params = sync_target(params, target_params, do_sync)
-            return (actor, replay, params, target_params, opt_state, lkey, loss, gnorm), None
-
         @functools.partial(jax.jit, static_argnums=(1,))
         def run_segment(carry, n_iters):
             carry, _ = jax.lax.scan(iteration, carry, None, length=n_iters)
@@ -197,7 +160,7 @@ class DeepQLearningSolver:
 
         # --- host loop: segments between log/eval/save boundaries ---
         actor = init_actor(env, network, cfg.num_envs, k_actor)
-        carry = (
+        carry = LoopCarry(
             actor, replay, params, target_params, opt_state, k_learn,
             jnp.asarray(0.0), jnp.asarray(0.0),
         )

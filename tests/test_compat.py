@@ -1,0 +1,130 @@
+"""Genericity tests: host-env path and MDP/POMDP adapters.
+
+Mirrors the reference's "Static Array Env" and "Common RL Env" testsets
+(``test/runtests.jl:165-234``): arbitrary user environments that are not
+vectorizable must still train (10-step solves, loose thresholds — these test
+the plumbing, not learning).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepqlearning_tpu import (
+    Chain,
+    DeepQLearningSolver,
+    Dense,
+    EpsGreedyPolicy,
+    HostEnv,
+    LinearDecaySchedule,
+    MDPEnv,
+)
+
+
+class SimpleEnv(HostEnv):
+    """Port of the inline CommonRL test env (``test/runtests.jl:199-234``):
+    state s in {1,2,3}, actions ±1, reward = s, terminates at s >= 3."""
+
+    def __init__(self):
+        self.s = 1
+
+    def reset(self):
+        self.s = 1
+
+    def observe(self):
+        return np.asarray([self.s], np.float32)
+
+    def act(self, a):
+        r = self.s
+        self.s = max(1, self.s + a)
+        return r
+
+    def terminated(self):
+        return self.s >= 3
+
+    def actions(self):
+        return [-1, 1]
+
+
+def host_evaluate(env, policy, n_ep=20, max_steps=100):
+    avg = 0.0
+    for _ in range(n_ep):
+        env.reset()
+        policy.reset_state()
+        r, step = 0.0, 0
+        while not env.terminated() and step < max_steps:
+            a = policy.action(env.observe())
+            r += env.act(a)
+            step += 1
+        avg += r
+    return avg / n_ep
+
+
+def test_host_env_path():
+    env = SimpleEnv()
+    model = Chain(Dense(1, 32), Dense(32, 2))
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=10, learning_rate=0.005, logdir=None,
+        verbose=False, double_q=True, dueling=True, prioritized_replay=True,
+        exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.01, 5)),
+    )
+    policy = solver.solve(env)
+    assert host_evaluate(env, policy) > 1.0
+
+
+class StaticArrayMDP:
+    """Port of the inline StaticArrayMDP (``test/runtests.jl:165-197``) as a
+    FunctionalMDP problem: s' = s + a, reward = s^2, terminal at s >= 3."""
+
+    num_actions = 2
+    discount = 0.95
+    action_map = [0, 1]
+
+    def initial_state(self, key):
+        return jnp.asarray([1], jnp.int32)
+
+    def gen(self, s, a, key):
+        return s + a.astype(jnp.int32)
+
+    def reward(self, s, a, sp):
+        return (s[0] ** 2).astype(jnp.float32)
+
+    def isterminal(self, s):
+        return s[0] >= 3
+
+    def convert_s(self, s):
+        return s.astype(jnp.float32)
+
+
+def test_functional_mdp_adapter():
+    env = MDPEnv(StaticArrayMDP())
+    assert env.obs_shape == (1,)
+    model = Chain(Dense(1, 32), Dense(32, env.num_actions))
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=64, learning_rate=0.005, logdir=None,
+        verbose=False, double_q=True, dueling=True, prioritized_replay=True,
+        train_start=64, buffer_size=256,
+        exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.01, 5)),
+    )
+    policy = solver.solve(env)
+    from deepqlearning_tpu.solver.evaluation import basic_evaluation
+
+    r, _, _ = basic_evaluation(policy.network, policy.params, env, 20, 100,
+                               jax.random.PRNGKey(0))
+    assert r > 1.0
+
+
+def test_policy_api_surface():
+    env = MDPEnv(StaticArrayMDP())
+    model = Chain(Dense(1, 8), Dense(8, 2))
+    from deepqlearning_tpu import NNPolicy, getnetwork, resetstate
+
+    params = model.init(jax.random.PRNGKey(0))
+    policy = NNPolicy(env, model, params, env.action_map, 1)
+    assert policy.action(np.asarray([1.0], np.float32)) in env.action_map
+    assert policy.actionvalues(np.asarray([1.0], np.float32)).shape == (2,)
+    assert isinstance(policy.value(np.asarray([1.0], np.float32)), float)
+    assert getnetwork(policy) is model
+    resetstate(policy)
+    with pytest.raises(ValueError):
+        policy.action(np.zeros((2, 2), np.float32))

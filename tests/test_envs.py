@@ -1,0 +1,110 @@
+"""Unit tests for the functional environments.
+
+``TestMDP`` semantics are pinned to the reference fixture
+(``test/test_env.jl:10-87``): optimal policy [1,0,1,0,2] (0-indexed) scores
+2.1 undiscounted over the 5-step horizon (``test/test_env.jl:5-8``).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepqlearning_tpu import SimpleGridWorld, TestMDP, TigerPOMDP
+from deepqlearning_tpu.envs.base import auto_reset
+
+
+def rollout(env, actions, key):
+    state, obs = env.reset(key)
+    total, rewards = 0.0, []
+    for a in actions:
+        key, k = jax.random.split(key)
+        state, obs, r, done = env.step(state, jnp.asarray(a, jnp.int32), k)
+        rewards.append(float(r))
+        total += float(r)
+        if bool(done):
+            break
+    return total, rewards, bool(done)
+
+
+def test_testmdp_optimal_policy_value():
+    env = TestMDP((5, 5), 4, 6)
+    total, rewards, done = rollout(env, [1, 0, 1, 0, 2], jax.random.PRNGKey(0))
+    assert done
+    assert len(rewards) == 5
+    # optimal value 2.1 (test/test_env.jl:7)
+    np.testing.assert_allclose(total, 2.1, atol=1e-5)
+
+
+def test_testmdp_bad_policy_punished():
+    env = TestMDP((5, 5), 4, 6)
+    # visiting room 1 (reference state 2) multiplies next reward by -10
+    total, rewards, _ = rollout(env, [1, 2, 2, 2, 2], jax.random.PRNGKey(0))
+    # after room1, landing in room2 (+0.1) is flipped to -1.0
+    assert rewards[1] == -1.0
+
+
+def test_testmdp_obs_shape_and_range():
+    env = TestMDP((5, 5), 4, 6)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (5, 5, 4) == env.obs_shape
+    assert float(obs.min()) >= 0.0 and float(obs.max()) <= 1.0
+
+
+def test_testmdp_horizon():
+    env = TestMDP((5, 5), 4, 6)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    for i in range(5):
+        state, obs, r, done = env.step(state, jnp.asarray(0), jax.random.PRNGKey(i))
+    assert bool(done)
+
+
+def test_gridworld_reward_and_terminal():
+    env = SimpleGridWorld()
+    from deepqlearning_tpu.envs.gridworld import GridWorldState
+
+    state = GridWorldState(pos=jnp.asarray([9, 3], jnp.int32),
+                           terminal=jnp.asarray(False))
+    state, obs, r, done = env.step(state, jnp.asarray(0), jax.random.PRNGKey(0))
+    assert float(r) == 10.0 and bool(done)
+    np.testing.assert_allclose(np.asarray(obs), [-1.0, -1.0])
+
+
+def test_gridworld_moves_stay_on_grid():
+    env = SimpleGridWorld(tprob=1.0)
+    from deepqlearning_tpu.envs.gridworld import GridWorldState
+
+    state = GridWorldState(pos=jnp.asarray([1, 1], jnp.int32),
+                           terminal=jnp.asarray(False))
+    # move left from (1,1): stays
+    state, obs, r, done = env.step(state, jnp.asarray(2), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(obs), [1.0, 1.0])
+    assert float(r) == 0.0 and not bool(done)
+
+
+def test_gridworld_batch_step_and_autoreset():
+    env = SimpleGridWorld()
+    key = jax.random.PRNGKey(0)
+    states, obs = env.reset_batch(key, 16)
+    actions = jnp.zeros((16,), jnp.int32)
+    states, obs2, r, done = env.step_batch(states, actions, jax.random.PRNGKey(1))
+    assert obs2.shape == (16, 2)
+    new_state, new_obs, ended = auto_reset(
+        env, states, obs2, done, jnp.zeros_like(done), jax.random.PRNGKey(2)
+    )
+    # after auto-reset no observation is the terminal marker
+    assert not np.any(np.asarray(new_obs) == -1.0)
+
+
+def test_tiger_listen_and_open():
+    env = TigerPOMDP(p_correct=1.0)
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    # listening is non-terminal with r_listen
+    state, obs, r, done = env.step(state, jnp.asarray(2), jax.random.PRNGKey(0))
+    assert float(r) == -1.0 and not bool(done)
+    # with p_correct=1 the observation reveals the tiger; opening the other
+    # door escapes
+    tiger_left = bool(state.tiger_left)
+    open_action = 1 if tiger_left else 0
+    state, obs, r, done = env.step(
+        state, jnp.asarray(open_action), jax.random.PRNGKey(1)
+    )
+    assert float(r) == 10.0 and bool(done)

@@ -1,0 +1,182 @@
+"""Unit tests for replay buffers and the sum-tree.
+
+The reference has no replay unit tests (SURVEY.md §4 calls this out); these
+cover the invariants its code relies on: ring-insert semantics
+(``src/prioritized_experience_replay.jl:65-74``), priority math (``:67,77``),
+IS-weight formula (``:101-102``), and episode window/mask semantics
+(``src/episode_replay.jl:71-95``).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepqlearning_tpu import (
+    EpisodeReplayBuffer,
+    PrioritizedReplayBuffer,
+    ReplayBuffer,
+    TransitionBatch,
+)
+from deepqlearning_tpu.ops import sumtree
+
+
+def _batch(n, obs_shape=(3,), base=0.0):
+    return TransitionBatch(
+        obs=jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3) + base,
+        action=jnp.arange(n, dtype=jnp.int32) % 4,
+        reward=jnp.arange(n, dtype=jnp.float32) + base,
+        next_obs=jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3) + base + 100,
+        done=jnp.zeros((n,), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------- sum-tree
+def test_sumtree_total_and_leaf():
+    tree = sumtree.init_tree(8)
+    tree = sumtree.set_priorities(tree, jnp.arange(8), jnp.arange(8, dtype=jnp.float32))
+    assert float(sumtree.total(tree)) == 28.0
+    np.testing.assert_allclose(
+        np.asarray(sumtree.get_leaf(tree, jnp.arange(8))), np.arange(8.0)
+    )
+
+
+def test_sumtree_partial_update():
+    tree = sumtree.init_tree(8)
+    tree = sumtree.set_priorities(tree, jnp.arange(8), jnp.ones(8))
+    tree = sumtree.set_priorities(tree, jnp.asarray([2, 5]), jnp.asarray([10.0, 0.0]))
+    assert float(sumtree.total(tree)) == 6 + 10.0 + 0.0  # six 1s + 10 + 0
+    # internal consistency: every parent equals sum of children
+    t = np.asarray(tree)
+    for i in range(1, 8):
+        assert abs(t[i] - (t[2 * i] + t[2 * i + 1])) < 1e-5
+
+
+def test_sumtree_sampling_proportional():
+    tree = sumtree.init_tree(4)
+    prios = jnp.asarray([1.0, 0.0, 3.0, 0.0])
+    tree = sumtree.set_priorities(tree, jnp.arange(4), prios)
+    idx, p = sumtree.sample(tree, jax.random.PRNGKey(0), 4096)
+    counts = np.bincount(np.asarray(idx), minlength=4)
+    assert counts[1] == 0 and counts[3] == 0
+    ratio = counts[2] / max(counts[0], 1)
+    assert 2.4 < ratio < 3.7  # expect ~3
+    # returned priorities match leaves
+    np.testing.assert_allclose(np.asarray(p), np.asarray(prios)[np.asarray(idx)])
+
+
+# ---------------------------------------------------------------- PER
+def test_ring_insert_wraparound():
+    buf = ReplayBuffer((3,), max_size=10, batch_size=4)
+    st = buf.init()
+    st = buf.insert(st, _batch(6))
+    assert int(st.size) == 6 and int(st.insert_pos) == 6
+    st = buf.insert(st, _batch(6, base=50.0))
+    assert int(st.size) == 10 and int(st.insert_pos) == 2
+    # slots 6..9 and 0..1 hold the second batch
+    np.testing.assert_allclose(np.asarray(st.reward[6]), 50.0)
+    np.testing.assert_allclose(np.asarray(st.reward[1]), 55.0)
+    np.testing.assert_allclose(np.asarray(st.reward[2]), 2.0)  # first batch remains
+
+
+def test_per_insert_priority_is_abs_reward():
+    # priority at insert = (|r| + eps)^alpha (src/solver.jl:92 + per.jl:67)
+    buf = PrioritizedReplayBuffer((3,), 16, 4, alpha=0.7, eps=1e-3)
+    st = buf.init()
+    b = _batch(4)._replace(reward=jnp.asarray([0.0, -2.0, 1.0, 3.0]))
+    st = buf.insert(st, b)
+    leaves = np.asarray(sumtree.get_leaf(st.tree, jnp.arange(4)))
+    expected = (np.abs([0.0, -2.0, 1.0, 3.0]) + 1e-3) ** 0.7
+    np.testing.assert_allclose(leaves, expected, rtol=1e-5)
+
+
+def test_per_update_priorities_and_is_weights():
+    buf = PrioritizedReplayBuffer((3,), 8, 4, alpha=0.6, beta=0.4, eps=1e-3)
+    st = buf.init()
+    st = buf.insert(st, _batch(8))
+    td = jnp.asarray([0.5, -1.5, 2.0, 0.0])
+    idx = jnp.asarray([0, 1, 2, 3])
+    st = buf.update_priorities(st, idx, td)
+    leaves = np.asarray(sumtree.get_leaf(st.tree, idx))
+    np.testing.assert_allclose(
+        leaves, (np.abs(np.asarray(td)) + 1e-3) ** 0.6, rtol=1e-5
+    )
+    # IS weights = (N * p/total)^(-beta), unnormalized (per.jl:101-102)
+    batch, sidx, w = buf.sample(st, jax.random.PRNGKey(3))
+    total = float(sumtree.total(st.tree))
+    p = np.asarray(sumtree.get_leaf(st.tree, sidx)) / total
+    np.testing.assert_allclose(np.asarray(w), (8 * p) ** (-0.4), rtol=1e-4)
+
+
+def test_uniform_buffer_unit_weights():
+    buf = ReplayBuffer((3,), 8, 4)
+    st = buf.init()
+    st = buf.insert(st, _batch(8))
+    _, _, w = buf.sample(st, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(w), 1.0)
+    # update_priorities is a no-op for uniform replay
+    st2 = buf.update_priorities(st, jnp.arange(4), jnp.ones(4) * 9)
+    np.testing.assert_allclose(np.asarray(st2.tree), np.asarray(st.tree))
+
+
+def test_sample_returns_matching_fields():
+    buf = ReplayBuffer((3,), 8, 8)
+    st = buf.init()
+    st = buf.insert(st, _batch(8))
+    batch, idx, _ = buf.sample(st, jax.random.PRNGKey(1))
+    i = np.asarray(idx)
+    np.testing.assert_allclose(np.asarray(batch.reward), i.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(batch.obs[:, 0]), (i * 3).astype(np.float32))
+
+
+# ---------------------------------------------------------------- episode
+def test_episode_commit_and_window():
+    buf = EpisodeReplayBuffer((2,), max_size=4, batch_size=2, trace_length=3,
+                              max_episode_length=5, num_envs=2)
+    st = buf.init()
+    # env0 runs a 2-step episode; env1 a 3-step episode
+    for t in range(3):
+        tr = TransitionBatch(
+            obs=jnp.full((2, 2), float(t)),
+            action=jnp.asarray([t, t + 1], jnp.int32),
+            reward=jnp.asarray([float(t), 10.0 + t]),
+            next_obs=jnp.full((2, 2), float(t) + 0.5),
+            done=jnp.asarray([1.0 if t == 1 else 0.0, 1.0 if t == 2 else 0.0]),
+        )
+        ended = jnp.asarray([t == 1, t == 2])
+        st = buf.add_step(st, tr, ended)
+    assert int(st.size) == 2
+    lengths = sorted(int(x) for x in np.asarray(st.length[:2]))
+    assert lengths == [2, 3]
+    # acc_len reset after commit
+    assert int(st.acc_len[0]) == 1  # env0 started a new episode at t=2
+    assert int(st.acc_len[1]) == 0
+
+    batch = buf.sample(st, jax.random.PRNGKey(0))
+    assert batch.obs.shape == (2, 3, 2)
+    assert batch.mask.shape == (2, 3)
+    # masked steps are zeroed
+    np.testing.assert_allclose(
+        np.asarray(batch.reward) * (1 - np.asarray(batch.mask)), 0.0
+    )
+
+
+def test_episode_mask_valid_prefix():
+    buf = EpisodeReplayBuffer((1,), max_size=2, batch_size=4, trace_length=4,
+                              max_episode_length=6, num_envs=1)
+    st = buf.init()
+    for t in range(3):
+        tr = TransitionBatch(
+            obs=jnp.full((1, 1), float(t)),
+            action=jnp.zeros((1,), jnp.int32),
+            reward=jnp.ones((1,)),
+            next_obs=jnp.full((1, 1), float(t)),
+            done=jnp.asarray([1.0 if t == 2 else 0.0]),
+        )
+        st = buf.add_step(st, tr, jnp.asarray([t == 2]))
+    batch = buf.sample(st, jax.random.PRNGKey(1))
+    m = np.asarray(batch.mask)
+    # masks are contiguous prefixes of 1s
+    for row in m:
+        ones = int(row.sum())
+        np.testing.assert_allclose(row[:ones], 1.0)
+        np.testing.assert_allclose(row[ones:], 0.0)
+        assert 1 <= ones <= 3
