@@ -29,6 +29,27 @@ import jax.numpy as jnp
 from .base import Env
 
 
+def check_requirements(problem, pomdp: bool = False):
+    """Requirements linter — the analog of the reference's
+    ``@POMDP_require`` block (``src/solver.jl:320-335``): verify the problem
+    implements the interface ``solve`` needs, and raise a readable error
+    listing anything missing.
+    """
+    required = ["initial_state", "gen", "reward", "isterminal"]
+    required.append("convert_o" if pomdp else "convert_s")
+    if pomdp:
+        required.append("observation")
+    attrs = ["num_actions", "discount"]
+    missing = [m for m in required if not callable(getattr(problem, m, None))]
+    missing += [a for a in attrs if not hasattr(problem, a)]
+    if missing:
+        raise TypeError(
+            f"{type(problem).__name__} does not satisfy the "
+            f"{'POMDP' if pomdp else 'MDP'} interface; missing: "
+            + ", ".join(missing)
+        )
+
+
 class MDPEnv(Env):
     """Adapter: FunctionalMDP problem → Env (``MDPCommonRLEnv`` analog)."""
 

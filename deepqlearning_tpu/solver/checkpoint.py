@@ -34,6 +34,28 @@ def load_params(logdir: str, params_template):
     return serialization.from_bytes(jax.device_get(params_template), data)
 
 
+TRAIN_STATE_NAME = "train_state.msgpack"
+
+
+def save_train_state(logdir: str, carry) -> str:
+    """Full resume checkpoint (params + target + opt state + actor counters).
+
+    Extension over the reference, which saves best-model params only and
+    cannot resume training (SURVEY.md §5.4).
+    """
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, TRAIN_STATE_NAME)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(carry)))
+    return path
+
+
+def load_train_state(logdir: str, carry_template):
+    path = os.path.join(logdir, TRAIN_STATE_NAME)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(jax.device_get(carry_template), f.read())
+
+
 def save_model(logdir: Optional[str], params, scores_eval: float,
                saved_mean_reward: float, model_saved: bool,
                verbose: bool) -> Tuple[bool, float]:

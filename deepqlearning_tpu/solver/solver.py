@@ -191,7 +191,7 @@ class DeepQLearningSolver:
             n = min(seg_iters, total_iters - done_iters)
             carry = run_segment(carry, n)
             done_iters += n
-            actor = carry[0]
+            actor = carry.actor
             t0 = (done_iters - n) * spi
             t1 = done_iters * spi
 
@@ -203,13 +203,13 @@ class DeepQLearningSolver:
             if eval_next:  # deferred-eval semantics (src/solver.jl:101-122)
                 eval_key, k = jax.random.split(eval_key)
                 scores_eval, steps_eval, info_eval = evaluation(
-                    self.evaluation_policy, network, carry[2], env,
+                    self.evaluation_policy, network, carry.params, env,
                     cfg.num_ep_eval, cfg.max_episode_length, k, cfg.verbose,
                 )
                 eval_next = False
                 if save_next:
                     model_saved, saved_mean_reward = checkpoint.save_model(
-                        self.logdir, carry[2], scores_eval, saved_mean_reward,
+                        self.logdir, carry.params, scores_eval, saved_mean_reward,
                         model_saved, cfg.verbose,
                     )
                     save_next = False
@@ -221,8 +221,8 @@ class DeepQLearningSolver:
                 self.metrics["eval"].append((t1, scores_eval))
 
             if crossed(cfg.log_freq, t0, t1):
-                loss_val = float(carry[6])
-                grad_val = float(carry[7])
+                loss_val = float(carry.loss)
+                grad_val = float(carry.gnorm)
                 avg100 = float(avg_recent(actor.ret_ring, actor.ep_count))
                 eps_val = float(jnp.asarray(eps_fn(jnp.asarray(t1))))
                 self.metrics["t"].append(t1)
@@ -241,7 +241,7 @@ class DeepQLearningSolver:
                         f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f}"
                     )
 
-        params = carry[2]
+        params = carry.params
         if model_saved and self.logdir is not None:
             if cfg.verbose:
                 print(f"Restore model with eval reward {saved_mean_reward:1.3f}")

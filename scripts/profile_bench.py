@@ -1,5 +1,14 @@
-"""Micro-profiling of the bench loop components on the current platform."""
+"""Micro-profiling of the bench loop components on the current platform.
+
+Run from anywhere: ``python scripts/profile_bench.py``. (Do NOT use
+PYTHONPATH — it leaks into the axon TPU plugin's helper subprocess and breaks
+backend registration.)
+"""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

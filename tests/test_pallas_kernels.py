@@ -1,0 +1,72 @@
+"""Pallas kernel tests (interpret mode on CPU) against the jnp reference
+implementations.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqlearning_tpu.ops.helpers import huber_loss
+from deepqlearning_tpu.ops.pallas.td_kernel import td_loss_fused
+
+
+def _ref(q_s, q_sp_onl, q_sp_tgt, a, r, d, w, gamma, alpha, eps, double_q):
+    if double_q:
+        best = jnp.argmax(q_sp_onl, -1)
+        q_max = jnp.take_along_axis(q_sp_tgt, best[:, None], -1)[:, 0]
+    else:
+        q_max = q_sp_tgt.max(-1)
+    tgt = r + (1 - d) * gamma * q_max
+    q_sa = jnp.take_along_axis(q_s, a[:, None], -1)[:, 0]
+    td = q_sa - tgt
+    loss = jnp.sum(huber_loss(w * td)) / q_s.shape[0]
+    prio = (jnp.abs(td) + eps) ** alpha
+    return loss, td, prio
+
+
+@pytest.mark.parametrize("double_q", [True, False])
+def test_td_kernel_matches_reference(double_q):
+    B, A = 32, 4
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 7)
+    q_s = jax.random.normal(ks[0], (B, A))
+    q_onl = jax.random.normal(ks[1], (B, A))
+    q_tgt = jax.random.normal(ks[2], (B, A))
+    a = jax.random.randint(ks[3], (B,), 0, A)
+    r = jax.random.normal(ks[4], (B,))
+    d = (jax.random.uniform(ks[5], (B,)) < 0.2).astype(jnp.float32)
+    w = jax.random.uniform(ks[6], (B,), minval=0.5, maxval=1.5)
+
+    loss, td, prio = td_loss_fused(q_s, q_onl, q_tgt, a, r, d, w,
+                                   0.95, 0.6, 1e-3, double_q, True)
+    rl, rtd, rp = _ref(q_s, q_onl, q_tgt, a, r, d, w, 0.95, 0.6, 1e-3, double_q)
+    np.testing.assert_allclose(float(loss), float(rl), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(rtd), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(prio), np.asarray(rp), rtol=1e-5)
+
+
+def test_td_kernel_gradient_matches_reference():
+    B, A = 16, 4
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 7)
+    q_s = jax.random.normal(ks[0], (B, A))
+    q_onl = jax.random.normal(ks[1], (B, A))
+    q_tgt = jax.random.normal(ks[2], (B, A))
+    a = jax.random.randint(ks[3], (B,), 0, A)
+    r = jax.random.normal(ks[4], (B,))
+    d = jnp.zeros((B,))
+    w = jnp.ones((B,))
+
+    def f_kernel(q):
+        loss, _, _ = td_loss_fused(q, q_onl, q_tgt, a, r, d, w,
+                                   0.95, 0.6, 1e-3, True, True)
+        return loss
+
+    def f_ref(q):
+        loss, _, _ = _ref(q, q_onl, q_tgt, a, r, d, w, 0.95, 0.6, 1e-3, True)
+        return loss
+
+    gk = jax.grad(f_kernel)(q_s)
+    gr = jax.grad(f_ref)(q_s)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-5,
+                               atol=1e-7)
