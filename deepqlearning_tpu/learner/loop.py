@@ -63,9 +63,18 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
         actor, replay, params = carry.actor, carry.replay, carry.params
         target_params, opt_state = carry.target_params, carry.opt_state
         lkey, loss, gnorm = carry.lkey, carry.loss, carry.gnorm
-        (actor, replay, params), _ = jax.lax.scan(
-            collect_step, (actor, replay, params), None, length=cfg.steps_per_iter
-        )
+        if cfg.steps_per_iter <= 4:
+            # unroll short collect phases — a nested lax.scan of tiny length
+            # forces carry copies of the full replay state per level
+            cc = (actor, replay, params)
+            for _ in range(cfg.steps_per_iter):
+                cc, _ = collect_step(cc, None)
+            actor, replay, params = cc
+        else:
+            (actor, replay, params), _ = jax.lax.scan(
+                collect_step, (actor, replay, params), None,
+                length=cfg.steps_per_iter,
+            )
         for _ in range(cfg.updates_per_iter):
             lkey, k = jax.random.split(lkey)
             res = train_step(params, target_params, opt_state, replay, k)

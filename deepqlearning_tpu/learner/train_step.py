@@ -56,28 +56,58 @@ def _bellman_targets(network, params, target_params, next_obs, reward, done,
 
 
 def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
-                        learning_rate: float, axis_name: Optional[str] = None):
+                        learning_rate: float, axis_name: Optional[str] = None,
+                        use_pallas: Optional[bool] = None):
     """Feed-forward path. Returns
     ``step(params, target_params, opt_state, replay_state, key) -> TrainResult``.
+
+    ``use_pallas`` selects the fused Pallas TD-loss/priority kernel
+    (``ops/pallas/td_kernel.py``) for the loss head; default: on for TPU
+    backends, off elsewhere (the jnp path is the reference semantics either
+    way — the kernel is bit-equivalent, see tests/test_pallas_kernels.py).
     """
     optimizer = make_optimizer(learning_rate)
     B = buffer.batch_size
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
 
     def step(params, target_params, opt_state, replay_state, key):
         batch, idx, weights = buffer.sample(replay_state, key)
-        q_targets = _bellman_targets(
-            network, params, target_params, batch.next_obs,
-            batch.reward, batch.done, gamma, double_q,
-        )
 
-        def loss_fn(p):
-            q, _ = network.apply(p, batch.obs)
-            q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
-            td = q_sa - q_targets
-            loss = jnp.sum(huber_loss(weights * td)) / B
-            return loss, td
+        if use_pallas:
+            from ..ops.pallas.td_kernel import td_loss_fused
 
-        (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            q_sp_tgt, _ = network.apply(target_params, batch.next_obs)
+            q_sp_onl, _ = network.apply(params, batch.next_obs)
+
+            def loss_fn(p):
+                q, _ = network.apply(p, batch.obs)
+                loss, td, prio = td_loss_fused(
+                    q, q_sp_onl, q_sp_tgt, batch.action, batch.reward,
+                    batch.done, weights, gamma, buffer.alpha, buffer.eps,
+                    double_q,
+                )
+                return loss, (td, prio)
+
+            (loss, (td, prio)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+        else:
+            q_targets = _bellman_targets(
+                network, params, target_params, batch.next_obs,
+                batch.reward, batch.done, gamma, double_q,
+            )
+
+            def loss_fn(p):
+                q, _ = network.apply(p, batch.obs)
+                q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
+                td = q_sa - q_targets
+                loss = jnp.sum(huber_loss(weights * td)) / B
+                return loss, td
+
+            (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            prio = None
+
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         grad_norm = globalnorm(grads)
