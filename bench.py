@@ -15,6 +15,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: first run pays ~minutes of XLA compile on the
+# tunneled backend, repeats are instant
+jax.config.update("jax_compilation_cache_dir", "/tmp/dqn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"

@@ -2,21 +2,26 @@
 
 The reference samples with an O(N) linear weighted draw
 (``StatsBase.sample`` with ``Weights``, ``src/prioritized_experience_replay.jl:85``)
-which cannot scale; SURVEY.md §2.2 mandates a tree/prefix-sum sampler. This
-module stores a complete binary tree in one flat ``[2 * cap]`` array
-(1-indexed: node ``i`` has children ``2i``/``2i+1``; leaves occupy
-``[cap, 2*cap)``). All ops are batched, jit-friendly, and O(log N) gathers
-per sample — no host sync, no data-dependent shapes.
+which cannot scale; SURVEY.md §2.2 mandates a tree/prefix-sum sampler.
 
-Updates scatter into the leaves and rebuild the internal levels with
-``log2(cap)`` pairwise-sum reshapes — O(2*cap) of pure VPU/HBM-bandwidth
-work, trivially fused by XLA and far cheaper than a descent-per-update
-scatter chain at TPU batch sizes.
+Representation: a tuple of per-level arrays, leaves first —
+``levels[0]`` has ``cap`` leaves, ``levels[k]`` has ``cap >> k`` nodes,
+``levels[-1]`` is the root. Per-level arrays (instead of one flat array)
+keep every update a slice/reshape-sum cascade with zero concatenates and let
+contiguous leaf updates be ``dynamic_update_slice`` DMAs instead of TPU
+scatters (scatters serialize on TPU and were the bench bottleneck).
+
+All ops are batched, jit-friendly; sampling is O(log N) gathers per draw
+with no host sync and no data-dependent shapes.
 """
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
+
+Tree = Tuple[jnp.ndarray, ...]
 
 
 def tree_capacity(n: int) -> int:
@@ -27,59 +32,67 @@ def tree_capacity(n: int) -> int:
     return cap
 
 
-def init_tree(capacity: int) -> jnp.ndarray:
+def init_tree(capacity: int) -> Tree:
     cap = tree_capacity(capacity)
-    return jnp.zeros((2 * cap,), jnp.float32)
+    levels = []
+    size = cap
+    while size >= 1:
+        levels.append(jnp.zeros((size,), jnp.float32))
+        size //= 2
+    return tuple(levels)
 
 
-def set_priorities(tree: jnp.ndarray, indices: jnp.ndarray, priorities: jnp.ndarray) -> jnp.ndarray:
-    """Set leaf priorities at ``indices`` and rebuild internal nodes."""
-    cap = tree.shape[0] // 2
-    leaves = tree[cap:].at[indices].set(priorities.astype(jnp.float32))
-    return _rebuild(leaves)
-
-
-def _rebuild(leaves: jnp.ndarray) -> jnp.ndarray:
-    """Rebuild the full tree array from a leaves array of power-of-two size."""
-    parts = [leaves]
+def _rebuild_from(leaves: jnp.ndarray) -> Tree:
+    levels = [leaves]
     level = leaves
     while level.shape[0] > 1:
         level = level.reshape(-1, 2).sum(axis=1)
-        parts.append(level)
-    # layout: [unused, root(1), level(2), ..., leaves(cap)]
-    return jnp.concatenate([jnp.zeros((1,), leaves.dtype)] + parts[::-1])
+        levels.append(level)
+    return tuple(levels)
 
 
-def total(tree: jnp.ndarray) -> jnp.ndarray:
-    return tree[1]
+def set_priorities(tree: Tree, indices: jnp.ndarray, priorities: jnp.ndarray) -> Tree:
+    """Set leaf priorities at arbitrary ``indices`` (scatter) and rebuild."""
+    leaves = tree[0].at[indices].set(priorities.astype(jnp.float32))
+    return _rebuild_from(leaves)
 
 
-def get_leaf(tree: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    cap = tree.shape[0] // 2
-    return tree[cap + indices]
+def set_priorities_slice(tree: Tree, start, priorities: jnp.ndarray) -> Tree:
+    """Set a contiguous run of leaves starting at ``start`` (one DMA) and
+    rebuild. Used by the aligned ring insert."""
+    leaves = jax.lax.dynamic_update_slice(
+        tree[0], priorities.astype(jnp.float32), (start,)
+    )
+    return _rebuild_from(leaves)
 
 
-def sample(tree: jnp.ndarray, key, batch_size: int, stratified: bool = True):
+def total(tree: Tree) -> jnp.ndarray:
+    return tree[-1][0]
+
+
+def get_leaf(tree: Tree, indices: jnp.ndarray) -> jnp.ndarray:
+    return tree[0][indices]
+
+
+def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
     """Draw ``batch_size`` leaf indices proportional to leaf priority.
 
-    Stratified sampling (one uniform draw per equal mass stratum) is the
+    Stratified sampling (one uniform draw per equal-mass stratum) is the
     standard PER variant at scale; the reference draws *without replacement*
     (``src/prioritized_experience_replay.jl:85``) which has no fixed-shape
     batched analog — documented deviation (SURVEY.md §7 hard part (a)).
 
     Returns ``(indices [B] int32, priorities [B] float32)``.
     """
-    cap = tree.shape[0] // 2
-    depth = cap.bit_length() - 1
     u = jax.random.uniform(key, (batch_size,))
     if stratified:
         u = (jnp.arange(batch_size, dtype=jnp.float32) + u) / batch_size
     mass = u * total(tree)
-    idx = jnp.ones((batch_size,), jnp.int32)
-    for _ in range(depth):
-        left = tree[2 * idx]
+    idx = jnp.zeros((batch_size,), jnp.int32)
+    # descend from just below the root down to the leaves
+    for level in tree[-2::-1]:
+        left = level[2 * idx]
         go_right = mass >= left
         mass = jnp.where(go_right, mass - left, mass)
         idx = 2 * idx + go_right.astype(jnp.int32)
-    leaf = idx - cap
-    return leaf, tree[idx]
+    return idx, tree[0][idx]

@@ -91,10 +91,36 @@ class PrioritizedReplayBuffer:
         return jnp.full_like(reward, self.eps**self.alpha)
 
     def insert(self, state: ReplayState, batch: TransitionBatch) -> ReplayState:
-        """Ring-insert a batch of E transitions (one fused scatter per field)."""
+        """Ring-insert a batch of E transitions.
+
+        When E divides the capacity, ``insert_pos`` stays E-aligned forever,
+        so the insert is a contiguous ``dynamic_update_slice`` per field — a
+        DMA, not a TPU scatter (scatters serialize and dominated the bench
+        before this). Misaligned batch sizes fall back to scatter with
+        wraparound.
+        """
         E = batch.action.shape[0]
-        idx = (state.insert_pos + jnp.arange(E, dtype=jnp.int32)) % self.max_size
         prio = self._initial_priority(batch.reward)
+        if self.max_size % E == 0:
+            pos = state.insert_pos
+
+            def put(buf, val):
+                return jax.lax.dynamic_update_slice(
+                    buf, val.astype(buf.dtype),
+                    (pos,) + (jnp.asarray(0, jnp.int32),) * (buf.ndim - 1),
+                )
+
+            return ReplayState(
+                obs=put(state.obs, batch.obs),
+                action=put(state.action, batch.action),
+                reward=put(state.reward, batch.reward),
+                next_obs=put(state.next_obs, batch.next_obs),
+                done=put(state.done, batch.done),
+                tree=sumtree.set_priorities_slice(state.tree, pos, prio),
+                insert_pos=(state.insert_pos + E) % self.max_size,
+                size=jnp.minimum(state.size + E, self.max_size),
+            )
+        idx = (state.insert_pos + jnp.arange(E, dtype=jnp.int32)) % self.max_size
         return ReplayState(
             obs=state.obs.at[idx].set(batch.obs.astype(self.obs_dtype)),
             action=state.action.at[idx].set(batch.action.astype(jnp.int32)),

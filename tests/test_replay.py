@@ -39,15 +39,29 @@ def test_sumtree_total_and_leaf():
     )
 
 
+def _check_tree_consistency(tree):
+    for lo, hi in zip(tree[:-1], tree[1:]):
+        np.testing.assert_allclose(
+            np.asarray(lo).reshape(-1, 2).sum(1), np.asarray(hi), rtol=1e-5
+        )
+
+
 def test_sumtree_partial_update():
     tree = sumtree.init_tree(8)
     tree = sumtree.set_priorities(tree, jnp.arange(8), jnp.ones(8))
     tree = sumtree.set_priorities(tree, jnp.asarray([2, 5]), jnp.asarray([10.0, 0.0]))
     assert float(sumtree.total(tree)) == 6 + 10.0 + 0.0  # six 1s + 10 + 0
-    # internal consistency: every parent equals sum of children
-    t = np.asarray(tree)
-    for i in range(1, 8):
-        assert abs(t[i] - (t[2 * i] + t[2 * i + 1])) < 1e-5
+    _check_tree_consistency(tree)
+
+
+def test_sumtree_slice_update():
+    tree = sumtree.init_tree(16)
+    tree = sumtree.set_priorities_slice(tree, 4, jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+    assert float(sumtree.total(tree)) == 10.0
+    np.testing.assert_allclose(
+        np.asarray(sumtree.get_leaf(tree, jnp.arange(4) + 4)), [1, 2, 3, 4]
+    )
+    _check_tree_consistency(tree)
 
 
 def test_sumtree_sampling_proportional():
@@ -114,7 +128,7 @@ def test_uniform_buffer_unit_weights():
     np.testing.assert_allclose(np.asarray(w), 1.0)
     # update_priorities is a no-op for uniform replay
     st2 = buf.update_priorities(st, jnp.arange(4), jnp.ones(4) * 9)
-    np.testing.assert_allclose(np.asarray(st2.tree), np.asarray(st.tree))
+    np.testing.assert_allclose(np.asarray(st2.tree[0]), np.asarray(st.tree[0]))
 
 
 def test_sample_returns_matching_fields():
