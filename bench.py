@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 # persistent compile cache: first run pays ~minutes of XLA compile on the
 # tunneled backend, repeats are instant
-jax.config.update("jax_compilation_cache_dir", "/tmp/dqn_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

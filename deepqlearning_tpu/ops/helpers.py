@@ -43,6 +43,34 @@ def globalnorm(grads) -> jnp.ndarray:
     return jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
 
 
+def obs_dimensions(env) -> tuple:
+    """Observation shape of an env (``obs_dimensions``, ``src/helpers.jl:81``)."""
+    return tuple(env.obs_shape)
+
+
+def default_discount(env) -> float:
+    """Discount of an env: 1.0 for raw envs, the problem's discount for
+    wrapped (PO)MDPs (``default_discount``, ``src/helpers.jl:83-85``)."""
+    return float(getattr(env, "discount", 1.0))
+
+
+def hiddenstates(net_state):
+    """Recurrent-state leaves of an explicit network state tuple.
+
+    Parity shim for ``hiddenstates`` (``src/helpers.jl:61-66``). In this
+    framework recurrent state is *already explicit* — the caller carries it —
+    so this simply filters the non-empty per-layer entries.
+    """
+    return [s for s in net_state if s != ()]
+
+
+def sethiddenstates(net_state, hs):
+    """Inverse of :func:`hiddenstates` (``src/helpers.jl:71-79``): rebuild a
+    full per-layer state tuple from the recurrent entries."""
+    it = iter(hs)
+    return tuple(next(it) if s != () else () for s in net_state)
+
+
 def batch_trajectories(x: jnp.ndarray, traj_length: int, batch_size: int) -> jnp.ndarray:
     """Convert ``[batch, traj, features...]`` into time-major ``[traj, batch, feat]``.
 

@@ -1,0 +1,60 @@
+"""Config parity with the reference solver struct (``src/solver.jl:1-28``)."""
+import dataclasses
+
+from deepqlearning_tpu import DQNConfig, DeepQLearningSolver
+
+
+REFERENCE_FIELDS = {
+    # field: reference default (src/solver.jl:1-28)
+    "learning_rate": 1e-4,
+    "max_steps": 1000,
+    "batch_size": 32,
+    "train_freq": 4,
+    "eval_freq": 500,
+    "target_update_freq": 500,
+    "num_ep_eval": 100,
+    "double_q": True,
+    "dueling": True,
+    "recurrence": False,
+    "trace_length": 40,
+    "prioritized_replay": True,
+    "prioritized_replay_alpha": 0.6,
+    "prioritized_replay_beta": 0.4,
+    "buffer_size": 1000,
+    "max_episode_length": 100,
+    "train_start": 200,
+    "logdir": "log/",
+    "save_freq": 3000,
+    "log_freq": 100,
+    "verbose": True,
+}
+
+
+def test_all_reference_fields_present_with_matching_defaults():
+    cfg = DQNConfig()
+    for field, default in REFERENCE_FIELDS.items():
+        assert hasattr(cfg, field), f"missing reference field {field}"
+        assert getattr(cfg, field) == default, field
+
+
+def test_effective_epsilon_default():
+    # the reference's solver field default (1e-6) is dead code; the effective
+    # value is the buffer ctor default 1e-3
+    # (src/prioritized_experience_replay.jl:45) — we wire that through
+    assert DQNConfig().prioritized_replay_epsilon == 1e-3
+
+
+def test_solver_kwargs_roundtrip():
+    s = DeepQLearningSolver(max_steps=123, double_q=False, num_envs=16)
+    assert s.config.max_steps == 123
+    assert not s.config.double_q
+    assert s.config.num_envs == 16
+
+
+def test_ratio_properties():
+    cfg = DQNConfig(num_envs=1, train_freq=4)
+    assert cfg.steps_per_iter == 4 and cfg.updates_per_iter == 1
+    cfg = DQNConfig(num_envs=8, train_freq=8)
+    assert cfg.steps_per_iter == 1 and cfg.updates_per_iter == 1
+    cfg = DQNConfig(num_envs=4096, train_freq=4096)
+    assert cfg.env_steps_per_iter == 4096
