@@ -81,3 +81,31 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 4)
     ge.dryrun_multichip(8)
+
+
+def test_dp_recurrent_path():
+    from deepqlearning_tpu import LSTM
+    from deepqlearning_tpu.replay.episode import EpisodeReplayBuffer
+
+    env = TestMDP((5, 5), 1, 6)
+    network = Chain(Flatten(), LSTM(25, 8), Dense(8, env.num_actions))
+    cfg = DQNConfig(
+        num_envs=2, batch_size=4, buffer_size=16, train_freq=2,
+        train_start=8, max_episode_length=6, recurrence=True,
+        trace_length=5, dueling=False,
+    )
+    buffer = EpisodeReplayBuffer(
+        env.obs_shape, cfg.buffer_size, cfg.batch_size, cfg.trace_length,
+        cfg.max_episode_length, num_envs=cfg.num_envs,
+    )
+    runner = DataParallelRunner(
+        env, network, buffer, cfg, LinearDecaySchedule(1.0, 0.1, 100),
+        gamma=env.discount, mesh=make_mesh(8),
+    )
+    carry = runner.init_carry(jax.random.PRNGKey(0))
+    carry = runner.run_populate(carry, 8)  # enough steps to commit episodes
+    carry = runner.run_segment(carry, 2)
+    assert np.isfinite(float(carry.loss[0]))
+    leaf = jax.tree_util.tree_leaves(carry.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(leaf[-1]),
+                               rtol=1e-6)
