@@ -14,8 +14,10 @@ from .config import DQNConfig
 from .models.chain import (
     Activation,
     Chain,
+    Conv2D,
     Dense,
     Flatten,
+    GRU,
     LSTM,
     isrecurrent,
 )
@@ -50,7 +52,7 @@ __all__ = [
     "ReplayBuffer", "ReplayState", "EpisodeReplayBuffer", "EpisodeReplayState",
     "EpisodeBatch",
     # models
-    "Chain", "Dense", "LSTM", "Flatten", "Activation", "DuelingNetwork",
+    "Chain", "Dense", "LSTM", "GRU", "Conv2D", "Flatten", "Activation", "DuelingNetwork",
     "create_dueling_network", "isrecurrent",
     # helpers
     "flattenbatch", "huber_loss", "batch_trajectories", "globalnorm",

@@ -151,6 +151,86 @@ class LSTM:
 
 
 @dataclasses.dataclass(frozen=True)
+class Conv2D:
+    """2-D convolution over NHWC inputs (the Flux ``Conv`` analog).
+
+    The reference's user nets are Dense/LSTM only (``test/runtests.jl``), but
+    image-observation DQN (Atari-style) needs convs; XLA maps these onto the
+    MXU. ``stride``/``padding`` follow lax.conv semantics.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    activation: Optional[Callable] = None
+
+    def init(self, key, dtype=jnp.float32):
+        kh, kw = self.kernel
+        fan_in = kh * kw * self.in_channels
+        fan_out = kh * kw * self.out_channels
+        limit = math.sqrt(6.0 / (fan_in + fan_out))
+        w = jax.random.uniform(
+            key, (kh, kw, self.in_channels, self.out_channels), dtype,
+            -limit, limit,
+        )
+        return {"w": w, "b": jnp.zeros((self.out_channels,), dtype)}
+
+    def apply(self, params, x):
+        y = jax.lax.conv_general_dilated(
+            x, params["w"], window_strides=self.stride, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + params["b"].astype(jnp.float32)
+        if self.activation is not None:
+            y = self.activation(y)
+        return y.astype(x.dtype)
+
+    @property
+    def recurrent(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class GRU:
+    """Single-step GRU cell — a second recurrent unit beside LSTM.
+
+    State is ``(h,)``; same explicit-state contract as :class:`LSTM`.
+    """
+
+    in_dim: int
+    hidden: int
+
+    def init(self, key, dtype=jnp.float32):
+        ki, kh = jax.random.split(key)
+        return {
+            "wi": _glorot_uniform(ki, (self.in_dim, 3 * self.hidden), dtype),
+            "wh": _glorot_uniform(kh, (self.hidden, 3 * self.hidden), dtype),
+            "b": jnp.zeros((3 * self.hidden,), dtype),
+        }
+
+    def init_state(self, batch_size: int, dtype=jnp.float32):
+        return (jnp.zeros((batch_size, self.hidden), dtype),)
+
+    def apply(self, params, x, state):
+        (h,) = state
+        xi = jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
+        hh = jnp.dot(h, params["wh"], preferred_element_type=jnp.float32)
+        b = params["b"].astype(jnp.float32)
+        H = self.hidden
+        r = jax.nn.sigmoid(xi[..., :H] + hh[..., :H] + b[:H])
+        z = jax.nn.sigmoid(xi[..., H:2 * H] + hh[..., H:2 * H] + b[H:2 * H])
+        n = jnp.tanh(xi[..., 2 * H:] + r * hh[..., 2 * H:] + b[2 * H:])
+        new_h = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(x.dtype)
+        return new_h, (new_h,)
+
+    @property
+    def recurrent(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
 class Chain:
     """Sequential container; the JAX analog of a Flux ``Chain``.
 

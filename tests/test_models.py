@@ -103,3 +103,34 @@ def test_dueling_recurrent_base():
     state = duel.init_state(2)
     q, s = duel.apply(params, jnp.ones((2, 2, 2)), state)
     assert q.shape == (2, 3)
+
+
+def test_conv2d_layer():
+    from deepqlearning_tpu import Conv2D
+
+    net = Chain(Conv2D(3, 8, (3, 3), activation=jnp.tanh),
+                Conv2D(8, 4, (3, 3), stride=(2, 2)), Flatten(),
+                Dense(4 * 4 * 4, 2))
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 8, 8, 3))
+    y, _ = net.apply(params, x)
+    assert y.shape == (5, 2)
+    # dueling split works with a conv base
+    duel = create_dueling_network(net)
+    assert len(duel.base.layers) == 3
+    q, _ = duel.apply(duel.init(jax.random.PRNGKey(2)), x)
+    assert q.shape == (5, 2)
+
+
+def test_gru_layer():
+    from deepqlearning_tpu import GRU
+
+    net = Chain(GRU(3, 6), Dense(6, 2))
+    assert isrecurrent(net)
+    params = net.init(jax.random.PRNGKey(0))
+    s = net.init_state(4)
+    x = jnp.ones((4, 3))
+    y1, s1 = net.apply(params, x, s)
+    y2, _ = net.apply(params, x, s1)
+    assert y1.shape == (4, 2)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
