@@ -183,6 +183,11 @@ class DeepQLearningSolver:
         save_next = False
         eval_key = k_eval
 
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer()
+        timer.tick()
+
         def crossed(freq, t0, t1):
             return t1 // freq > t0 // freq
 
@@ -221,6 +226,8 @@ class DeepQLearningSolver:
                 self.metrics["eval"].append((t1, scores_eval))
 
             if crossed(cfg.log_freq, t0, t1):
+                seg_s = timer.tick()
+                sps = (n * spi / seg_s) if seg_s else 0.0
                 loss_val = float(carry.loss)
                 grad_val = float(carry.gnorm)
                 avg100 = float(avg_recent(actor.ret_ring, actor.ep_count))
@@ -234,12 +241,16 @@ class DeepQLearningSolver:
                     logger.log_value("avg_reward", avg100, step=t1)
                     logger.log_value("loss", loss_val, step=t1)
                     logger.log_value("grad_val", grad_val, step=t1)
+                    logger.log_value("env_steps_per_s", sps, step=t1)
                 if cfg.verbose:
                     print(
                         f"{t1:5d} / {cfg.max_steps:5d} eps {eps_val:0.3f} | "
                         f"avgR {avg100:1.3f} | Loss {loss_val:2.3e} | "
-                        f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f}"
+                        f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f} | "
+                        f"{sps:,.0f} steps/s"
                     )
+            else:
+                timer.tick()
 
         params = carry.params
         if model_saved and self.logdir is not None:
