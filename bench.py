@@ -39,7 +39,9 @@ def main():
     num_envs = 256 if small else 4096
     buffer_size = 1 << (12 if small else 17)
     batch_size = 512
-    n_iters = 20 if small else 100
+    # iterations per launch: large enough to amortize the ~25 ms per-launch
+    # dispatch cost of the tunneled backend into noise
+    n_iters = 20 if small else int(os.environ.get("BENCH_ITERS", "400"))
 
     env = SimpleGridWorld()
     chain = Chain(Flatten(), Dense(2, 64, jnp.tanh), Dense(64, 64, jnp.tanh),

@@ -183,18 +183,19 @@ class DeepQLearningSolver:
         save_next = False
         eval_key = k_eval
 
-        from ..utils.profiling import StepTimer
-
-        timer = StepTimer()
-        timer.tick()
+        import time as _time
 
         def crossed(freq, t0, t1):
             return t1 // freq > t0 // freq
 
         done_iters = 0
+        seg_s = None
         while done_iters < total_iters:
             n = min(seg_iters, total_iters - done_iters)
+            _seg_t0 = _time.perf_counter()
             carry = run_segment(carry, n)
+            jax.block_until_ready(carry.loss)
+            seg_s = _time.perf_counter() - _seg_t0
             done_iters += n
             actor = carry.actor
             t0 = (done_iters - n) * spi
@@ -226,7 +227,6 @@ class DeepQLearningSolver:
                 self.metrics["eval"].append((t1, scores_eval))
 
             if crossed(cfg.log_freq, t0, t1):
-                seg_s = timer.tick()
                 sps = (n * spi / seg_s) if seg_s else 0.0
                 loss_val = float(carry.loss)
                 grad_val = float(carry.gnorm)
@@ -249,8 +249,6 @@ class DeepQLearningSolver:
                         f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f} | "
                         f"{sps:,.0f} steps/s"
                     )
-            else:
-                timer.tick()
 
         params = carry.params
         if model_saved and self.logdir is not None:
