@@ -41,7 +41,17 @@ class NNPolicy(AbstractNNPolicy):
 
     # ------------------------------------------------------------------
     def _check(self, o):
-        o = jnp.asarray(o, jnp.float32)
+        try:
+            o = jnp.asarray(o, jnp.float32)
+        except (TypeError, ValueError):
+            # not an array: treat as a raw problem state and convert through
+            # the env/problem, mirroring the reference's
+            # ``POMDPs.action(policy, s) -> convert_s`` dispatch
+            # (``src/policy.jl:66-76``)
+            if hasattr(self.problem, "observe"):
+                o = jnp.asarray(self.problem.observe(o), jnp.float32)
+            else:
+                raise
         if o.ndim != self.n_input_dims:
             raise ValueError(
                 f"NNPolicyError: was expecting an array with {self.n_input_dims}"

@@ -128,3 +128,19 @@ def test_policy_api_surface():
     resetstate(policy)
     with pytest.raises(ValueError):
         policy.action(np.zeros((2, 2), np.float32))
+
+
+def test_policy_converts_raw_states():
+    # reference: action(policy, s) converts raw problem states via convert_s
+    # (src/policy.jl:66-76); here the env's observe() is the converter
+    from deepqlearning_tpu import TestMDP
+    from deepqlearning_tpu.envs.test_mdp import TestMDPState
+
+    mdp = TestMDP((3,), 2, 4)
+    from deepqlearning_tpu import Chain, Dense, Flatten, NNPolicy
+
+    net = Chain(Flatten(), Dense(6, mdp.num_actions))
+    policy = NNPolicy(mdp, net, net.init(jax.random.PRNGKey(0)),
+                      mdp.action_map, len(mdp.obs_shape))
+    state, _ = mdp.reset(jax.random.PRNGKey(1))
+    assert policy.action(state) in mdp.action_map
