@@ -41,8 +41,9 @@ def test_sumtree_total_and_leaf():
 
 def _check_tree_consistency(tree):
     for lo, hi in zip(tree[:-1], tree[1:]):
+        bf = lo.shape[0] // hi.shape[0]
         np.testing.assert_allclose(
-            np.asarray(lo).reshape(-1, 2).sum(1), np.asarray(hi), rtol=1e-5
+            np.asarray(lo).reshape(-1, bf).sum(1), np.asarray(hi), rtol=1e-5
         )
 
 

@@ -107,8 +107,9 @@ def test_train_step_updates_priorities():
     assert not np.allclose(before, np.asarray(after[0]))
     # tree stays internally consistent
     for lo, hi in zip(after[:-1], after[1:]):
+        bf = lo.shape[0] // hi.shape[0]
         np.testing.assert_allclose(
-            np.asarray(lo).reshape(-1, 2).sum(1), np.asarray(hi), rtol=1e-4
+            np.asarray(lo).reshape(-1, bf).sum(1), np.asarray(hi), rtol=1e-4
         )
 
 
