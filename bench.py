@@ -36,9 +36,12 @@ def main():
     from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
     from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
 
-    num_envs = 256 if small else 4096
-    buffer_size = 1 << (12 if small else 17)
+    num_envs = 256 if small else int(os.environ.get("BENCH_ENVS", "16384"))
+    buffer_size = 1 << (12 if small else 18)
     batch_size = 512
+    # data/update ratio fixed at 4096 env steps per fused update regardless
+    # of env count (reference-style ratios, SURVEY.md §7(c))
+    train_freq = 256 if small else 4096
     # iterations per launch: large enough to amortize the ~25 ms per-launch
     # dispatch cost of the tunneled backend into noise
     n_iters = 20 if small else int(os.environ.get("BENCH_ITERS", "400"))
@@ -49,7 +52,7 @@ def main():
     network = create_dueling_network(chain)
     cfg = DQNConfig(
         num_envs=num_envs, batch_size=batch_size, buffer_size=buffer_size,
-        train_freq=num_envs,  # 1 fused update per lockstep sweep
+        train_freq=train_freq,
         max_episode_length=100, double_q=True, dueling=True,
         prioritized_replay=True,
     )

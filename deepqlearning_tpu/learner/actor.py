@@ -59,7 +59,6 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
     Returns ``step((actor, replay, params), None) -> ((actor, replay, params), None)``
     suitable for ``lax.scan``.
     """
-    E = None  # inferred from state
 
     def step(carry, _):
         actor, replay, params = carry
@@ -90,8 +89,6 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
         # episode bookkeeping (src/solver.jl:99-134)
         ep_ret = actor.ep_ret + reward
         ep_step = actor.ep_step + 1
-        slot = actor.ep_count % RETURN_RING
-        ended_any = jnp.any(ended)
         # record each finished episode's return into the ring
         n_end = jnp.sum(ended.astype(jnp.int32))
         finish_order = jnp.cumsum(ended.astype(jnp.int32)) - 1
@@ -108,7 +105,7 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
         net_state = jax.tree_util.tree_map(
             lambda s: jnp.where(
                 ended.reshape((-1,) + (1,) * (s.ndim - 1)), jnp.zeros_like(s), s
-            ) if hasattr(s, "ndim") and s.ndim >= 1 else s,
+            ),
             net_state,
         )
         actor = ActorState(
