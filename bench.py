@@ -36,7 +36,7 @@ def main():
     from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
     from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
 
-    num_envs = 256 if small else int(os.environ.get("BENCH_ENVS", "16384"))
+    num_envs = 256 if small else int(os.environ.get("BENCH_ENVS", "32768"))
     buffer_size = 1 << (12 if small else 18)
     batch_size = 512
     # data/update ratio fixed at 4096 env steps per fused update regardless
