@@ -137,17 +137,11 @@ def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
         nobs_t = tm(batch.next_obs)
         init_state = network.init_state(B)
 
-        # --- targets: unroll online+target nets over s' (Flux.reset! then
-        # stateful loop, src/solver.jl:249-269) ---
-        def tgt_scan(carry, sp):
-            onl_s, tgt_s = carry
-            q_onl, onl_s = network.apply(params, sp, onl_s)
-            q_tgt, tgt_s = network.apply(target_params, sp, tgt_s)
-            return (onl_s, tgt_s), (q_onl, q_tgt)
-
-        _, (q_onl_seq, q_tgt_seq) = jax.lax.scan(
-            tgt_scan, (init_state, init_state), nobs_t
-        )
+        # --- targets: unroll online+target nets over s' from zero state
+        # (Flux.reset! then stateful loop, src/solver.jl:249-269); input
+        # projections are hoisted out of the recurrence (apply_sequence) ---
+        q_onl_seq, _ = network.apply_sequence(params, nobs_t, init_state)
+        q_tgt_seq, _ = network.apply_sequence(target_params, nobs_t, init_state)
         if double_q:
             best = jnp.argmax(q_onl_seq, axis=-1)
             q_sp_max = jnp.take_along_axis(q_tgt_seq, best[..., None], -1)[..., 0]
@@ -157,17 +151,10 @@ def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
 
         # --- masked time-summed loss (src/solver.jl:273-282) ---
         def loss_fn(p):
-            def loss_scan(carry, inp):
-                s, a, tgt, m = inp
-                q, carry = network.apply(p, s, carry)
-                q_sa = jnp.take_along_axis(q, a[:, None], -1)[:, 0]
-                td = q_sa - tgt
-                return carry, jnp.sum(huber_loss(m * td)) / B
-
-            _, per_t = jax.lax.scan(
-                loss_scan, init_state, (obs_t, a_t, q_targets, m_t)
-            )
-            return jnp.sum(per_t) / T
+            q_seq, _ = network.apply_sequence(p, obs_t, init_state)  # [T, B, A]
+            q_sa = jnp.take_along_axis(q_seq, a_t[..., None], -1)[..., 0]
+            td = q_sa - q_targets
+            return jnp.sum(huber_loss(m_t * td)) / B / T
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         if axis_name is not None:

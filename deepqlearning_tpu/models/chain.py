@@ -131,19 +131,43 @@ class LSTM:
             jnp.zeros((batch_size, self.hidden), dtype),
         )
 
-    def apply(self, params, x, state):
+    def _cell(self, params, xi, state):
+        """One step given the precomputed input projection ``xi = x @ wi``."""
         h, c = state
         gates = (
-            jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
+            xi
             + jnp.dot(h, params["wh"], preferred_element_type=jnp.float32)
             + params["b"].astype(jnp.float32)
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         new_c = jax.nn.sigmoid(f) * c.astype(jnp.float32) + jax.nn.sigmoid(i) * jnp.tanh(g)
         new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-        new_h = new_h.astype(x.dtype)
-        new_c = new_c.astype(x.dtype)
-        return new_h, (new_h, new_c)
+        return new_h.astype(h.dtype), (new_h.astype(h.dtype), new_c.astype(h.dtype))
+
+    def apply(self, params, x, state):
+        xi = jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
+        return self._cell(params, xi, state)
+
+    def apply_sequence(self, params, xs, state):
+        """Unroll over a ``[T, B, in]`` sequence.
+
+        The input projection for ALL timesteps is one fat ``[T*B, 4H]``
+        matmul on the MXU; only the ``h @ wh`` recurrence stays inside the
+        ``lax.scan`` — the standard RNN restructuring that removes T-1
+        sequential input matmuls from the critical path.
+        """
+        T, B, _ = xs.shape
+        xi_all = jnp.dot(
+            xs.reshape(T * B, -1), params["wi"],
+            preferred_element_type=jnp.float32,
+        ).reshape(T, B, -1)
+
+        def step(carry, xi):
+            y, carry = self._cell(params, xi, carry)
+            return carry, y
+
+        state, ys = jax.lax.scan(step, state, xi_all)
+        return ys, state
 
     @property
     def recurrent(self) -> bool:
@@ -213,17 +237,36 @@ class GRU:
     def init_state(self, batch_size: int, dtype=jnp.float32):
         return (jnp.zeros((batch_size, self.hidden), dtype),)
 
-    def apply(self, params, x, state):
+    def _cell(self, params, xi, state):
         (h,) = state
-        xi = jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
         hh = jnp.dot(h, params["wh"], preferred_element_type=jnp.float32)
         b = params["b"].astype(jnp.float32)
         H = self.hidden
         r = jax.nn.sigmoid(xi[..., :H] + hh[..., :H] + b[:H])
         z = jax.nn.sigmoid(xi[..., H:2 * H] + hh[..., H:2 * H] + b[H:2 * H])
         n = jnp.tanh(xi[..., 2 * H:] + r * hh[..., 2 * H:] + b[2 * H:])
-        new_h = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(x.dtype)
+        new_h = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h.dtype)
         return new_h, (new_h,)
+
+    def apply(self, params, x, state):
+        xi = jnp.dot(x, params["wi"], preferred_element_type=jnp.float32)
+        return self._cell(params, xi, state)
+
+    def apply_sequence(self, params, xs, state):
+        """Unroll over ``[T, B, in]`` with the input projection hoisted into
+        one fat matmul (see ``LSTM.apply_sequence``)."""
+        T, B, _ = xs.shape
+        xi_all = jnp.dot(
+            xs.reshape(T * B, -1), params["wi"],
+            preferred_element_type=jnp.float32,
+        ).reshape(T, B, -1)
+
+        def step(carry, xi):
+            y, carry = self._cell(params, xi, carry)
+            return carry, y
+
+        state, ys = jax.lax.scan(step, state, xi_all)
+        return ys, state
 
     @property
     def recurrent(self) -> bool:
@@ -271,6 +314,29 @@ class Chain:
                 x = layer.apply(p, x)
             new_state.append(s)
         return x, tuple(new_state)
+
+    def apply_sequence(self, params, xs, state):
+        """Apply over a time-major ``[T, B, ...]`` sequence.
+
+        Stateless layers are applied to all timesteps at once (one fat op);
+        recurrent layers use their hoisted-input ``apply_sequence``. This is
+        the fast path for the DRQN train step (``learner/train_step.py``) —
+        only the recurrences themselves stay sequential.
+        """
+        T, B = xs.shape[0], xs.shape[1]
+        new_state = []
+        for layer, p, s in zip(self.layers, params, state):
+            if layer.recurrent:
+                xs, s = layer.apply_sequence(p, xs, s)
+            elif isinstance(layer, Flatten):
+                xs = xs.reshape(T, B, -1)
+            elif isinstance(layer, Conv2D):
+                xs = layer.apply(p, xs.reshape((T * B,) + xs.shape[2:]))
+                xs = xs.reshape((T, B) + xs.shape[1:])
+            else:
+                xs = layer.apply(p, xs)
+            new_state.append(s)
+        return xs, tuple(new_state)
 
     @property
     def recurrent(self) -> bool:

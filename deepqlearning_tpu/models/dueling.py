@@ -41,6 +41,15 @@ class DuelingNetwork:
         q = v + a - jnp.mean(a, axis=-1, keepdims=True)
         return q, new_state
 
+    def apply_sequence(self, params, xs, state):
+        """Time-major ``[T, B, ...]`` fast path (see ``Chain.apply_sequence``);
+        the Dense heads apply to all timesteps in one op."""
+        xs, new_state = self.base.apply_sequence(params["base"], xs, state)
+        v, _ = self.val.apply(params["val"], xs)
+        a, _ = self.adv.apply(params["adv"], xs)
+        q = v + a - jnp.mean(a, axis=-1, keepdims=True)
+        return q, new_state
+
     @property
     def recurrent(self) -> bool:
         return self.base.recurrent

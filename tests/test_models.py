@@ -134,3 +134,30 @@ def test_gru_layer():
     y2, _ = net.apply(params, x, s1)
     assert y1.shape == (4, 2)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_apply_sequence_matches_stepwise():
+    # the hoisted-input sequence path must equal per-step apply exactly
+    from deepqlearning_tpu import GRU
+
+    for net in [Chain(Flatten(), LSTM(4, 8), Dense(8, 3)),
+                Chain(GRU(4, 6), Dense(6, 3)),
+                create_dueling_network(Chain(Flatten(), LSTM(4, 8), Dense(8, 3)))]:
+        params = net.init(jax.random.PRNGKey(0))
+        T, B = 5, 3
+        xs = jax.random.normal(jax.random.PRNGKey(1), (T, B, 2, 2))
+        if isinstance(net.layers[0] if hasattr(net, "layers") else None, type(GRU(1, 1))):
+            xs = xs.reshape(T, B, 4)
+        state = net.init_state(B)
+        seq_out, seq_state = net.apply_sequence(params, xs, state)
+        outs = []
+        s = state
+        for t in range(T):
+            y, s = net.apply(params, xs[t], s)
+            outs.append(y)
+        np.testing.assert_allclose(np.asarray(seq_out), np.asarray(jnp.stack(outs)),
+                                   rtol=2e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(seq_state),
+                        jax.tree_util.tree_leaves(s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                       atol=1e-6)
