@@ -144,3 +144,60 @@ def test_policy_converts_raw_states():
                       mdp.action_map, len(mdp.obs_shape))
     state, _ = mdp.reset(jax.random.PRNGKey(1))
     assert policy.action(state) in mdp.action_map
+
+
+class MiniPOMDP:
+    """Functional POMDP problem for the adapter: hidden bit, noisy obs."""
+
+    num_actions = 2
+    discount = 0.9
+    action_map = ["stay", "guess"]
+
+    def initial_state(self, key):
+        return jax.random.bernoulli(key).astype(jnp.int32)
+
+    def gen(self, s, a, key):
+        return s
+
+    def reward(self, s, a, sp):
+        return jnp.where(a == 1, jnp.where(s == 1, 1.0, -1.0), 0.0)
+
+    def isterminal(self, s):
+        return jnp.asarray(False)
+
+    def observation(self, s, a, sp, key):
+        correct = jax.random.bernoulli(key, 0.9)
+        return jnp.where(correct, sp, 1 - sp)
+
+    def initial_obs(self, s):
+        return s
+
+    def convert_o(self, o):
+        return jnp.asarray([o], jnp.float32)
+
+
+def test_pomdp_adapter():
+    from deepqlearning_tpu import POMDPEnv
+
+    env = POMDPEnv(MiniPOMDP())
+    assert env.obs_shape == (1,)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (1,)
+    state, obs, r, done = env.step(state, jnp.asarray(1), jax.random.PRNGKey(1))
+    assert float(r) in (-1.0, 1.0)
+    # vectorizes
+    states, obss = env.reset_batch(jax.random.PRNGKey(2), 8)
+    assert obss.shape == (8, 1)
+
+
+def test_check_requirements():
+    from deepqlearning_tpu.envs.adapters import check_requirements
+
+    check_requirements(StaticArrayMDP())          # complete -> no raise
+    check_requirements(MiniPOMDP(), pomdp=True)   # complete -> no raise
+
+    class Incomplete:
+        num_actions = 2
+
+    with pytest.raises(TypeError, match="missing"):
+        check_requirements(Incomplete())
