@@ -1,29 +1,22 @@
-"""Episode replay buffer for recurrent DRQN — fixed-shape, fully on-device.
+"""Episode replay buffer for recurrent DRQN — time-ring layout, zero scatters
+on the hot path.
 
 The reference stores whole variable-length episodes and cuts random
-``trace_length`` windows at sample time (``src/episode_replay.jl``). Under
-XLA everything must be static-shape, so episodes live in a
-``[capacity, max_len, ...]`` block with an explicit per-episode length, and
-windows are gathers with a validity mask — semantics of
-``src/episode_replay.jl:71-95`` (random start, zero padding, trace mask).
+``trace_length`` windows at sample time (``src/episode_replay.jl``). A naive
+static-shape port (per-env accumulator rows + row scatters on commit) costs
+milliseconds per step on TPU — scatters serialize. Instead, transitions
+stream into a per-env **time ring** ``[E, R, ...]``: every lockstep step
+writes one column ``t % R`` for all envs — a single ``dynamic_update_slice``
+DMA per field — and episodes are just ``(start, length)`` records in a small
+per-env index ring, written with an E-element scalar scatter only when
+episodes end. Windows are gathered at sample time (sampling is gather-bound
+anyway). This is the R2D2-style sequence-replay layout.
 
-Per-env accumulation replaces the reference's single ``_episode`` list
-(``src/episode_replay.jl:46-52``): each of the E lockstep envs appends into
-its own row of an accumulator; when a row's episode ends it is committed into
-the ring with a masked scatter (non-finished rows scatter into a trash slot).
-
-Deviations (documented):
-  * Episodes are committed on episode *end* (done OR truncation at
-    ``max_episode_length``); the reference commits only on ``done`` and lets
-    truncated episodes bleed into the next one (``src/episode_replay.jl:46-52``
-    never sees the solver's truncation reset) — we reproduce the intent, not
-    the leak.
-  * Window = ``episode[start : start+T]`` with mask. The reference's fill
-    loop reads ``ep[t]`` instead of ``ep[j]`` (``src/episode_replay.jl:84``),
-    making "random start" effectively "random-length prefix"; SURVEY.md §2
-    (C7) says to reproduce behavior, not the bug — the *intended* random-start
-    window is what we implement, and the effective distribution over states
-    matches the reference's prefix sampling for the short test episodes.
+Window semantics match ``src/episode_replay.jl:71-95``: uniform episode,
+random start offset, zero-padded ``trace_length`` window with a validity
+mask. Records whose data has been overwritten by the ring are remapped to
+the env's most recent episode (documented deviation; with default sizing the
+ring holds the full episode capacity so this only triggers after wraparound).
 """
 from __future__ import annotations
 
@@ -47,22 +40,25 @@ class EpisodeBatch(NamedTuple):
 
 
 class EpisodeReplayState(NamedTuple):
-    # committed episode storage; one trailing trash row at index `capacity`
-    obs: jnp.ndarray       # [C+1, L, *obs_shape]
-    action: jnp.ndarray    # [C+1, L] int32
-    reward: jnp.ndarray    # [C+1, L] float32
-    next_obs: jnp.ndarray  # [C+1, L, *obs_shape]
-    done: jnp.ndarray      # [C+1, L] float32
-    length: jnp.ndarray    # [C+1] int32
-    insert_pos: jnp.ndarray  # int32 scalar
-    size: jnp.ndarray        # int32 scalar
-    # per-env in-progress episodes
-    acc_obs: jnp.ndarray       # [E, L, *obs_shape]
-    acc_action: jnp.ndarray    # [E, L] int32
-    acc_reward: jnp.ndarray    # [E, L] float32
-    acc_next_obs: jnp.ndarray  # [E, L, *obs_shape]
-    acc_done: jnp.ndarray      # [E, L] float32
-    acc_len: jnp.ndarray       # [E] int32
+    # streamed transitions, one time ring per env
+    obs: jnp.ndarray       # [E, R, *obs_shape]
+    action: jnp.ndarray    # [E, R] int32
+    reward: jnp.ndarray    # [E, R] float32
+    next_obs: jnp.ndarray  # [E, R, *obs_shape]
+    done: jnp.ndarray      # [E, R] float32
+    # episode index: per-env ring of (start, length) records
+    ep_start: jnp.ndarray  # [E, M] int32 — global step of episode start
+    ep_len: jnp.ndarray    # [E, M] int32
+    rec_count: jnp.ndarray  # [E] int32 — total records written per env
+    cur_len: jnp.ndarray    # [E] int32 — steps in the in-progress episode
+    t: jnp.ndarray          # int32 — global lockstep step counter
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 class EpisodeReplayBuffer:
@@ -77,100 +73,126 @@ class EpisodeReplayBuffer:
         obs_dtype=jnp.float32,
     ):
         self.obs_shape = tuple(obs_shape)
-        self.max_size = int(max_size)
+        self.max_size = int(max_size)          # episode capacity (aggregate)
         self.batch_size = int(batch_size)
         self.trace_length = int(trace_length)
         self.max_episode_length = int(max_episode_length)
         self.num_envs = int(num_envs)
         self.obs_dtype = obs_dtype
+        # per-env episode-record slots; aggregate record capacity >= max_size
+        self.records_per_env = max(2, -(-self.max_size // self.num_envs))
+        # time ring must hold max_size episodes' worth of steps per env (and
+        # at least two max-length episodes so the open episode never bites
+        # its own tail)
+        self.ring = _pow2(
+            max(2 * self.max_episode_length,
+                self.records_per_env * self.max_episode_length)
+        )
 
     def init(self) -> EpisodeReplayState:
-        C, L, E = self.max_size, self.max_episode_length, self.num_envs
-        oshape = self.obs_shape
-        dt = self.obs_dtype
+        E, R, M = self.num_envs, self.ring, self.records_per_env
+        oshape, dt = self.obs_shape, self.obs_dtype
         return EpisodeReplayState(
-            obs=jnp.zeros((C + 1, L) + oshape, dt),
-            action=jnp.zeros((C + 1, L), jnp.int32),
-            reward=jnp.zeros((C + 1, L), jnp.float32),
-            next_obs=jnp.zeros((C + 1, L) + oshape, dt),
-            done=jnp.zeros((C + 1, L), jnp.float32),
-            length=jnp.zeros((C + 1,), jnp.int32),
-            insert_pos=jnp.asarray(0, jnp.int32),
-            size=jnp.asarray(0, jnp.int32),
-            acc_obs=jnp.zeros((E, L) + oshape, dt),
-            acc_action=jnp.zeros((E, L), jnp.int32),
-            acc_reward=jnp.zeros((E, L), jnp.float32),
-            acc_next_obs=jnp.zeros((E, L) + oshape, dt),
-            acc_done=jnp.zeros((E, L), jnp.float32),
-            acc_len=jnp.zeros((E,), jnp.int32),
+            obs=jnp.zeros((E, R) + oshape, dt),
+            action=jnp.zeros((E, R), jnp.int32),
+            reward=jnp.zeros((E, R), jnp.float32),
+            next_obs=jnp.zeros((E, R) + oshape, dt),
+            done=jnp.zeros((E, R), jnp.float32),
+            ep_start=jnp.zeros((E, M), jnp.int32),
+            ep_len=jnp.zeros((E, M), jnp.int32),
+            rec_count=jnp.zeros((E,), jnp.int32),
+            cur_len=jnp.zeros((E,), jnp.int32),
+            t=jnp.asarray(0, jnp.int32),
         )
 
     # ------------------------------------------------------------------
     def add_step(
         self, state: EpisodeReplayState, batch: TransitionBatch, ended: jnp.ndarray
     ) -> EpisodeReplayState:
-        """Append one lockstep transition per env; commit rows whose episode
-        ``ended`` (done or truncated) into the ring.
+        """Append one lockstep transition per env (one slice DMA per field);
+        envs whose episode ``ended`` commit an index record.
 
         Analog of ``add_exp!`` + ``add_episode!`` (``src/episode_replay.jl:46-60``).
         """
-        E, L, C = self.num_envs, self.max_episode_length, self.max_size
-        rows = jnp.arange(E)
-        t = jnp.minimum(state.acc_len, L - 1)
-        acc_obs = state.acc_obs.at[rows, t].set(batch.obs.astype(self.obs_dtype))
-        acc_action = state.acc_action.at[rows, t].set(batch.action.astype(jnp.int32))
-        acc_reward = state.acc_reward.at[rows, t].set(batch.reward.astype(jnp.float32))
-        acc_next_obs = state.acc_next_obs.at[rows, t].set(
-            batch.next_obs.astype(self.obs_dtype)
-        )
-        acc_done = state.acc_done.at[rows, t].set(batch.done.astype(jnp.float32))
-        acc_len = jnp.minimum(state.acc_len + 1, L)
+        E, R, M = self.num_envs, self.ring, self.records_per_env
+        k = state.t % R
+
+        def put(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val[:, None].astype(buf.dtype),
+                (jnp.asarray(0, jnp.int32), k) + (jnp.asarray(0, jnp.int32),)
+                * (buf.ndim - 2),
+            )
+
+        obs = put(state.obs, batch.obs)
+        action = put(state.action, batch.action)
+        reward = put(state.reward, batch.reward)
+        next_obs = put(state.next_obs, batch.next_obs)
+        done = put(state.done, batch.done)
 
         ended = ended.astype(jnp.bool_)
-        # ring positions for the finished rows; trash row C for the rest
-        offsets = jnp.cumsum(ended.astype(jnp.int32)) - 1
-        dest = jnp.where(ended, (state.insert_pos + offsets) % C, C)
-        n_committed = jnp.sum(ended.astype(jnp.int32))
+        new_len = state.cur_len + 1
+        start = state.t - new_len + 1
+        rows = jnp.arange(E)
+        slot = jnp.where(ended, state.rec_count % M, M)  # M = dropped column
+        ep_start = jnp.concatenate(
+            [state.ep_start, jnp.zeros((E, 1), jnp.int32)], axis=1
+        ).at[rows, slot].set(start)[:, :M]
+        ep_len = jnp.concatenate(
+            [state.ep_len, jnp.zeros((E, 1), jnp.int32)], axis=1
+        ).at[rows, slot].set(new_len)[:, :M]
         return EpisodeReplayState(
-            obs=state.obs.at[dest].set(acc_obs),
-            action=state.action.at[dest].set(acc_action),
-            reward=state.reward.at[dest].set(acc_reward),
-            next_obs=state.next_obs.at[dest].set(acc_next_obs),
-            done=state.done.at[dest].set(acc_done),
-            length=state.length.at[dest].set(acc_len),
-            insert_pos=(state.insert_pos + n_committed) % C,
-            size=jnp.minimum(state.size + n_committed, C),
-            # reset finished rows' accumulators (lengths only; stale data is
-            # overwritten before it can be committed again)
-            acc_obs=acc_obs,
-            acc_action=acc_action,
-            acc_reward=acc_reward,
-            acc_next_obs=acc_next_obs,
-            acc_done=acc_done,
-            acc_len=jnp.where(ended, 0, acc_len),
+            obs=obs, action=action, reward=reward, next_obs=next_obs, done=done,
+            ep_start=ep_start, ep_len=ep_len,
+            rec_count=state.rec_count + ended.astype(jnp.int32),
+            cur_len=jnp.where(ended, 0, new_len),
+            t=state.t + 1,
         )
 
+    def reset_in_progress(self, state: EpisodeReplayState) -> EpisodeReplayState:
+        """Drop in-progress episodes (used after the populate phase so the
+        training actor's fresh episodes don't concatenate onto them)."""
+        return state._replace(cur_len=jnp.zeros_like(state.cur_len))
+
     # ------------------------------------------------------------------
+    @property
+    def size_fn(self):
+        return lambda state: jnp.sum(
+            jnp.minimum(state.rec_count, self.records_per_env)
+        )
+
     def sample(self, state: EpisodeReplayState, key) -> EpisodeBatch:
         """Uniform episodes, random-start windows, zero-padded with mask.
 
         Semantics of ``sample(::EpisodeReplayBuffer)``
-        (``src/episode_replay.jl:71-95``).
+        (``src/episode_replay.jl:71-95``). Stale records (data overwritten by
+        the time ring) are remapped to the env's most recent episode.
         """
-        B, T, L = self.batch_size, self.trace_length, self.max_episode_length
-        k_ep, k_start = jax.random.split(key)
-        ep = jax.random.randint(k_ep, (B,), 0, jnp.maximum(state.size, 1))
-        length = state.length[ep]
-        start = jax.random.randint(k_start, (B,), 0, jnp.maximum(length, 1))
-        ts = start[:, None] + jnp.arange(T)[None, :]       # [B, T]
-        valid = ts < length[:, None]
-        ts_c = jnp.minimum(ts, L - 1)
-        rows = ep[:, None]
+        B, T, R, M, E = (self.batch_size, self.trace_length, self.ring,
+                         self.records_per_env, self.num_envs)
+        k_env, k_rec, k_start = jax.random.split(key, 3)
+        env = jax.random.randint(k_env, (B,), 0, E)
+        n_rec = jnp.maximum(jnp.minimum(state.rec_count[env], M), 1)
+        rec = jax.random.randint(k_rec, (B,), 0, jnp.asarray(1 << 30)) % n_rec
+        # remap records whose data the ring has overwritten to the most
+        # recent record of that env
+        start = state.ep_start[env, rec]
+        length = state.ep_len[env, rec]
+        stale = (state.t - start) > (R - jnp.maximum(length, 1))
+        newest = (state.rec_count[env] - 1) % jnp.maximum(n_rec, 1)
+        rec = jnp.where(stale, newest, rec)
+        start = state.ep_start[env, rec]
+        length = jnp.maximum(state.ep_len[env, rec], 1)
 
+        u = jax.random.randint(k_start, (B,), 0, jnp.asarray(1 << 30)) % length
+        offs = u[:, None] + jnp.arange(T)[None, :]          # [B, T]
+        valid = offs < length[:, None]
+        cols = (start[:, None] + offs) % R
+        rows = env[:, None]
         mask = valid.astype(jnp.float32)
 
         def window(field):
-            g = field[rows, ts_c]
+            g = field[rows, cols]
             if field.dtype == jnp.int32:
                 return jnp.where(valid, g, 0)
             m = mask.reshape(mask.shape + (1,) * (g.ndim - 2)).astype(g.dtype)

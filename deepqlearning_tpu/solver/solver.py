@@ -151,7 +151,7 @@ class DeepQLearningSolver:
 
         _, replay = populate(pop_actor, replay, params)
         if cfg.recurrence:
-            replay = replay._replace(acc_len=jnp.zeros_like(replay.acc_len))
+            replay = buffer.reset_in_progress(replay)
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def run_segment(carry, n_iters):

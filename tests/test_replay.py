@@ -158,12 +158,11 @@ def test_episode_commit_and_window():
         )
         ended = jnp.asarray([t == 1, t == 2])
         st = buf.add_step(st, tr, ended)
-    assert int(st.size) == 2
-    lengths = sorted(int(x) for x in np.asarray(st.length[:2]))
-    assert lengths == [2, 3]
-    # acc_len reset after commit
-    assert int(st.acc_len[0]) == 1  # env0 started a new episode at t=2
-    assert int(st.acc_len[1]) == 0
+    assert int(st.rec_count.sum()) == 2
+    # committed lengths are 2 (env0) and 3 (env1)
+    assert int(st.ep_len[0, 0]) == 2 and int(st.ep_len[1, 0]) == 3
+    # env0 started a new episode at t=2; env1 has nothing in progress
+    assert int(st.cur_len[0]) == 1 and int(st.cur_len[1]) == 0
 
     batch = buf.sample(st, jax.random.PRNGKey(0))
     assert batch.obs.shape == (2, 3, 2)
@@ -195,3 +194,29 @@ def test_episode_mask_valid_prefix():
         np.testing.assert_allclose(row[:ones], 1.0)
         np.testing.assert_allclose(row[ones:], 0.0)
         assert 1 <= ones <= 3
+
+
+def test_episode_window_contents():
+    # windows gather the right transitions in order from the time ring
+    buf = EpisodeReplayBuffer((1,), max_size=2, batch_size=8, trace_length=3,
+                              max_episode_length=4, num_envs=1)
+    st = buf.init()
+    for t in range(4):
+        tr = TransitionBatch(
+            obs=jnp.full((1, 1), float(t)),
+            action=jnp.asarray([t], jnp.int32),
+            reward=jnp.asarray([float(10 * t)]),
+            next_obs=jnp.full((1, 1), float(t) + 0.5),
+            done=jnp.asarray([1.0 if t == 3 else 0.0]),
+        )
+        st = buf.add_step(st, tr, jnp.asarray([t == 3]))
+    batch = buf.sample(st, jax.random.PRNGKey(2))
+    a = np.asarray(batch.action)
+    m = np.asarray(batch.mask)
+    r = np.asarray(batch.reward)
+    for i in range(8):
+        ones = int(m[i].sum())
+        # actions within a window are consecutive; rewards = 10 * action
+        seq = a[i][:ones]
+        assert (np.diff(seq) == 1).all() or ones == 1
+        np.testing.assert_allclose(r[i][:ones], 10.0 * seq)

@@ -149,7 +149,7 @@ def test_drqn_train_step_runs_and_learns():
             done=done,
         )
         st = buf.add_step(st, tr, done.astype(bool))
-    assert int(st.size) >= 4
+    assert int(st.rec_count.sum()) >= 4
 
     net = Chain(LSTM(2, 8), Dense(8, 3))
     params = net.init(jax.random.PRNGKey(1))
