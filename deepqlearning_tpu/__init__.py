@@ -36,6 +36,7 @@ from .solver.exploration import (
     ConstantEpsilon,
     EpsGreedyPolicy,
     LinearDecaySchedule,
+    exploration,
     linear_epsilon_greedy,
 )
 from .solver.evaluation import basic_evaluation, evaluation
@@ -61,7 +62,7 @@ __all__ = [
     "TigerPOMDP",
     # exploration / evaluation
     "EpsGreedyPolicy", "LinearDecaySchedule", "ConstantEpsilon",
-    "linear_epsilon_greedy", "basic_evaluation", "evaluation",
+    "linear_epsilon_greedy", "exploration", "basic_evaluation", "evaluation",
 ]
 
 __version__ = "0.1.0"

@@ -139,7 +139,6 @@ def _fwd(q_s, q_sp_online, q_sp_target, action, reward, done, weights,
 def _bwd(gamma, alpha, eps, double_q, interpret, grad_res, cotangents):
     g_loss, _, _ = cotangents
     dq_s = grad_res * g_loss
-    zeros = lambda: None
     return (dq_s, None, None, None, None, None, None)
 
 

@@ -55,6 +55,17 @@ class EpsGreedyPolicy:
         return {"eps": float(self.schedule(jnp.asarray(t)))}
 
 
+def exploration(f, policy, env, obs, global_step, rng):
+    """Dispatch through a function-valued exploration strategy.
+
+    Parity with reference ``exploration`` (``src/exploration_policy.jl:10-12``):
+    ``f(policy, env, obs, global_step, rng) -> (action, eps)``. Host-side
+    strategies compose with the ``HostEnv`` training path; the jitted
+    vectorized path consumes schedule objects (``EpsGreedyPolicy``) instead.
+    """
+    return f(policy, env, obs, global_step, rng)
+
+
 def linear_epsilon_greedy(max_steps: int, eps_fraction: float, eps_end: float) -> EpsGreedyPolicy:
     """Reference example strategy (``src/exploration_policy.jl:16-36``):
     linear decay from 1 to ``eps_end`` over ``eps_fraction * max_steps``."""
