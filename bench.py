@@ -74,6 +74,7 @@ def main():
         actor=actor, replay=buffer.init(), params=params,
         target_params=params, opt_state=optimizer.init(params),
         lkey=k_learn, loss=jnp.asarray(0.0), gnorm=jnp.asarray(0.0),
+        sync_acc=jnp.asarray(0, jnp.int32),
     )
 
     @jax.jit

@@ -64,6 +64,22 @@ def _host_eval(policy, env: HostEnv, n_eval: int, max_episode_length: int):
     return avg_r / n_eval, avg_steps / n_eval, {}
 
 
+def _run_eval(solver, policy, env: HostEnv, cfg):
+    """Dispatch evaluation: the default jitted ``basic_evaluation`` cannot
+    drive a host env, so it maps to the serial rollout; custom strategies
+    (reference parity, ``src/solver.jl:101``) are called with the standard
+    signature and may drive the env however they like."""
+    from ..solver.evaluation import basic_evaluation
+
+    if solver.evaluation_policy is basic_evaluation:
+        return _host_eval(policy, env, cfg.num_ep_eval, cfg.max_episode_length)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    return solver.evaluation_policy(
+        policy.network, policy.params, env, cfg.num_ep_eval,
+        cfg.max_episode_length, key, cfg.verbose,
+    )
+
+
 def solve_host(solver, env: HostEnv):
     """Reference-shaped serial training loop (``dqn_train!``,
     ``src/solver.jl:59-178``) over a host env, with the jitted device train
@@ -106,11 +122,19 @@ def solve_host(solver, env: HostEnv):
     policy = NNPolicy(env, network, params, action_map, len(obs_shape))
     rng = np.random.RandomState(cfg.seed)
 
-    eps_fn = (
-        solver.exploration_policy.eps
-        if hasattr(solver.exploration_policy, "eps")
-        else solver.exploration_policy
-    )
+    # schedule-based strategies expose .eps (or are ε(t) schedules); any
+    # other callable is a reference-style 5-arg action-choosing strategy
+    # f(policy, env, obs, t, rng) -> (action, eps)
+    # (``src/exploration_policy.jl:10-12``)
+    from ..solver.exploration import ConstantEpsilon, LinearDecaySchedule
+
+    if hasattr(solver.exploration_policy, "eps"):
+        eps_fn = solver.exploration_policy.eps
+    elif isinstance(solver.exploration_policy,
+                    (LinearDecaySchedule, ConstantEpsilon)):
+        eps_fn = solver.exploration_policy
+    else:
+        eps_fn = None  # custom strategy, dispatched in the loop
 
     insert_one = jax.jit(
         lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
@@ -145,6 +169,10 @@ def solve_host(solver, env: HostEnv):
             env.reset()
             obs = np.asarray(env.observe(), np.float32)
             step = 0
+    if cfg.recurrence:
+        # drop partial populate episodes so training episodes don't
+        # concatenate onto them (same guard as the functional path)
+        replay = buffer.reset_in_progress(replay)
 
     # --- training loop ---
     env.reset()
@@ -157,12 +185,19 @@ def solve_host(solver, env: HostEnv):
     loss_val = grad_val = 0.0
     a_index = {a: i for i, a in enumerate(action_map)}
 
+    custom_explore = eps_fn is None
     for t in range(1, cfg.max_steps + 1):
-        eps = float(jnp.asarray(eps_fn(jnp.asarray(t))))
-        if rng.rand() < eps:
-            ai = rng.randint(len(action_map))
+        if custom_explore:
+            # reference-style function-valued strategy
+            # (src/exploration_policy.jl:10-12): f(policy, env, obs, t, rng)
+            act, _eps = solver.exploration_policy(policy, env, obs, t, rng)
+            ai = a_index[act]
         else:
-            ai = a_index[policy.action(obs)]
+            eps = float(jnp.asarray(eps_fn(jnp.asarray(t))))
+            if rng.rand() < eps:
+                ai = rng.randint(len(action_map))
+            else:
+                ai = a_index[policy.action(obs)]
         r = float(env.act(action_map[ai]))
         op = np.asarray(env.observe(), np.float32)
         done = bool(env.terminated())
@@ -173,8 +208,8 @@ def solve_host(solver, env: HostEnv):
 
         if ended:
             if eval_next:
-                scores_eval, _steps, _info = _host_eval(
-                    policy, env, cfg.num_ep_eval, cfg.max_episode_length
+                scores_eval, _steps, _info = _run_eval(
+                    solver, policy, env, cfg
                 )
                 eval_next = False
                 if save_next:

@@ -117,7 +117,10 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
             ret_ring=ret_ring,
             ep_count=actor.ep_count + n_end,
             step_ring=step_ring,
-            t=actor.t + num_envs,
+            # saturating counter: t only feeds the ε schedule (which is flat
+            # past its horizon), so cap it instead of overflowing int32 —
+            # at headline throughput 2^31 steps is minutes of wall time
+            t=jnp.minimum(actor.t + num_envs, jnp.asarray(1 << 30, jnp.int32)),
             key=key,
         )
         return (actor, replay, params), None

@@ -28,6 +28,10 @@ class LoopCarry(NamedTuple):
     lkey: jnp.ndarray
     loss: jnp.ndarray
     gnorm: jnp.ndarray
+    # env steps accumulated since the last hard target sync; wrap-free
+    # replacement for the t//freq crossing test (int32 t overflows in
+    # minutes at headline throughput)
+    sync_acc: jnp.ndarray = jnp.asarray(0, jnp.int32)
 
 
 def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
@@ -63,6 +67,7 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
         actor, replay, params = carry.actor, carry.replay, carry.params
         target_params, opt_state = carry.target_params, carry.opt_state
         lkey, loss, gnorm = carry.lkey, carry.loss, carry.gnorm
+        sync_acc = carry.sync_acc
         if cfg.steps_per_iter <= 4:
             # unroll short collect phases — a nested lax.scan of tiny length
             # forces carry copies of the full replay state per level
@@ -80,10 +85,11 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
             res = train_step(params, target_params, opt_state, replay, k)
             params, opt_state, replay = res.params, res.opt_state, res.replay_state
             loss, gnorm = res.loss, res.grad_norm
-        prev_t = actor.t - cfg.env_steps_per_iter
-        do_sync = (actor.t // tuf) > (prev_t // tuf)
+        sync_acc = sync_acc + cfg.env_steps_per_iter
+        do_sync = sync_acc >= tuf
+        sync_acc = jnp.where(do_sync, sync_acc % tuf, sync_acc)
         target_params = sync_target(params, target_params, do_sync)
         return LoopCarry(actor, replay, params, target_params, opt_state,
-                         lkey, loss, gnorm), None
+                         lkey, loss, gnorm, sync_acc), None
 
     return iteration, populate_step, optimizer

@@ -113,7 +113,9 @@ def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
         grad_norm = globalnorm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        replay_state = buffer.update_priorities(replay_state, idx, td)
+        replay_state = buffer.update_priorities(
+            replay_state, idx, td, priorities=prio
+        )
         return TrainResult(params, opt_state, replay_state, loss, grad_norm)
 
     return step, optimizer

@@ -114,6 +114,7 @@ class DataParallelRunner:
             lkey=jax.random.split(k_learn, D),
             loss=jnp.zeros((D,)),
             gnorm=jnp.zeros((D,)),
+            sync_acc=jnp.zeros((D,), jnp.int32),
         )
 
     def device_get_params(self, carry: LoopCarry):

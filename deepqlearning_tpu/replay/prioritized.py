@@ -150,13 +150,21 @@ class PrioritizedReplayBuffer:
         return batch, idx, weights
 
     def update_priorities(
-        self, state: ReplayState, indices: jnp.ndarray, td_errors: jnp.ndarray
+        self, state: ReplayState, indices: jnp.ndarray, td_errors: jnp.ndarray,
+        priorities: jnp.ndarray = None,
     ) -> ReplayState:
-        """Parity with ``update_priorities!`` (``src/prioritized_experience_replay.jl:76-80``)."""
+        """Parity with ``update_priorities!`` (``src/prioritized_experience_replay.jl:76-80``).
+
+        ``priorities`` may carry precomputed ``(|td|+eps)^alpha`` values (the
+        fused Pallas kernel emits them) to skip the recompute.
+        """
         if not self.prioritized:
             return state
-        prio = (jnp.abs(td_errors) + self.eps) ** self.alpha
-        return state._replace(tree=sumtree.set_priorities(state.tree, indices, prio))
+        if priorities is None:
+            priorities = (jnp.abs(td_errors) + self.eps) ** self.alpha
+        return state._replace(
+            tree=sumtree.set_priorities(state.tree, indices, priorities)
+        )
 
 
 def ReplayBuffer(obs_shape, max_size, batch_size, obs_dtype=jnp.float32):

@@ -29,7 +29,10 @@ class LinearDecaySchedule:
     steps: int = 5000
 
     def __call__(self, t):
-        frac = jnp.minimum(t.astype(jnp.float32) if hasattr(t, "astype") else float(t), self.steps) / self.steps
+        t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+        # clip both ends: negative/overflowed step counters degrade to the
+        # schedule endpoints instead of eps outside [stop, start]
+        frac = jnp.clip(t / max(self.steps, 1), 0.0, 1.0)
         return self.start - (self.start - self.stop) * frac
 
 
@@ -59,9 +62,12 @@ def exploration(f, policy, env, obs, global_step, rng):
     """Dispatch through a function-valued exploration strategy.
 
     Parity with reference ``exploration`` (``src/exploration_policy.jl:10-12``):
-    ``f(policy, env, obs, global_step, rng) -> (action, eps)``. Host-side
-    strategies compose with the ``HostEnv`` training path; the jitted
-    vectorized path consumes schedule objects (``EpsGreedyPolicy``) instead.
+    ``f(policy, env, obs, global_step, rng) -> (action, eps)``. The
+    ``HostEnv`` training path dispatches bare-callable
+    ``exploration_policy`` objects through exactly this signature
+    (``envs/compat.py``); the jitted vectorized path requires schedule
+    objects (``EpsGreedyPolicy``) and rejects bare callables with a clear
+    error.
     """
     return f(policy, env, obs, global_step, rng)
 
@@ -70,5 +76,6 @@ def linear_epsilon_greedy(max_steps: int, eps_fraction: float, eps_end: float) -
     """Reference example strategy (``src/exploration_policy.jl:16-36``):
     linear decay from 1 to ``eps_end`` over ``eps_fraction * max_steps``."""
     return EpsGreedyPolicy(
-        LinearDecaySchedule(start=1.0, stop=eps_end, steps=int(eps_fraction * max_steps))
+        LinearDecaySchedule(start=1.0, stop=eps_end,
+                            steps=max(1, int(eps_fraction * max_steps)))
     )

@@ -31,7 +31,7 @@ from ..replay.episode import EpisodeReplayBuffer
 from ..replay.prioritized import PrioritizedReplayBuffer
 from . import checkpoint
 from .evaluation import basic_evaluation, evaluation
-from .exploration import EpsGreedyPolicy, LinearDecaySchedule
+from .exploration import ConstantEpsilon, EpsGreedyPolicy, LinearDecaySchedule
 from .policy import NNPolicy
 
 
@@ -122,11 +122,19 @@ class DeepQLearningSolver:
         params = network.init(k_init)
         target_params = params
 
-        eps_fn = (
-            self.exploration_policy.eps
-            if hasattr(self.exploration_policy, "eps")
-            else self.exploration_policy
-        )
+        if hasattr(self.exploration_policy, "eps"):
+            eps_fn = self.exploration_policy.eps
+        elif isinstance(self.exploration_policy,
+                        (LinearDecaySchedule, ConstantEpsilon)):
+            eps_fn = self.exploration_policy
+        else:
+            raise TypeError(
+                "the jitted vectorized path needs a schedule-based "
+                "exploration policy (EpsGreedyPolicy / LinearDecaySchedule / "
+                "ConstantEpsilon); function-valued strategies "
+                "f(policy, env, obs, t, rng) are supported on the HostEnv "
+                "path (src/exploration_policy.jl:10-12 parity)"
+            )
         iteration, populate_step, optimizer = build_loop(
             env, network, buffer, cfg, eps_fn, gamma
         )
@@ -138,9 +146,10 @@ class DeepQLearningSolver:
         pop_actor = init_actor(env, network, cfg.num_envs, k_pop)
         n_pop = -(-cfg.train_start // cfg.num_envs)
         if cfg.recurrence:
-            # need at least one *committed* episode before sampling; random
-            # policy commits on done/truncation, so run enough steps
-            n_pop = max(n_pop, cfg.max_episode_length // cfg.num_envs + 1)
+            # every env must commit at least one episode before sampling; the
+            # random policy commits on done or truncation, so run each env
+            # for at least max_episode_length+1 lockstep steps
+            n_pop = max(n_pop, cfg.max_episode_length + 1)
 
         @jax.jit
         def populate(actor, replay, params):
@@ -162,7 +171,7 @@ class DeepQLearningSolver:
         actor = init_actor(env, network, cfg.num_envs, k_actor)
         carry = LoopCarry(
             actor, replay, params, target_params, opt_state, k_learn,
-            jnp.asarray(0.0), jnp.asarray(0.0),
+            jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
         )
         spi = cfg.env_steps_per_iter
         seg_env_steps = max(spi, min(cfg.log_freq, cfg.eval_freq, cfg.save_freq))

@@ -201,3 +201,40 @@ def test_check_requirements():
 
     with pytest.raises(TypeError, match="missing"):
         check_requirements(Incomplete())
+
+
+def test_host_custom_exploration_and_evaluation():
+    # function-valued strategies, reference parity
+    # (src/exploration_policy.jl:10-12, src/evaluation_policy.jl:10-12)
+    env = SimpleEnv()
+    model = Chain(Dense(1, 16), Dense(16, 2))
+    calls = {"explore": 0, "eval": 0}
+
+    def my_explore(policy, env_, obs, t, rng):
+        calls["explore"] += 1
+        return (env_.actions()[rng.randint(2)], 0.5)
+
+    def my_eval(network, params, env_, n_eval, max_len, key, verbose):
+        calls["eval"] += 1
+        return 42.0, 1.0, {"custom": 1.0}
+
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=12, train_start=30, eval_freq=4,
+        save_freq=10_000, logdir=None, verbose=False,
+        prioritized_replay=False, dueling=False, double_q=False,
+        exploration_policy=my_explore, evaluation_policy=my_eval,
+    )
+    solver.solve(env)
+    assert calls["explore"] == 12
+    assert calls["eval"] >= 1
+
+
+def test_functional_path_rejects_function_strategy():
+    from deepqlearning_tpu import SimpleGridWorld
+
+    solver = DeepQLearningSolver(
+        qnetwork=Chain(Dense(2, 4), Dense(4, 4)), logdir=None,
+        exploration_policy=lambda p, e, o, t, r: (0, 0.1),
+    )
+    with pytest.raises(TypeError, match="schedule-based"):
+        solver.solve(SimpleGridWorld())

@@ -58,3 +58,24 @@ def test_ratio_properties():
     assert cfg.steps_per_iter == 1 and cfg.updates_per_iter == 1
     cfg = DQNConfig(num_envs=4096, train_freq=4096)
     assert cfg.env_steps_per_iter == 4096
+
+
+def test_schedule_clamps_out_of_range_t():
+    # negative/overflowed step counters must degrade to schedule endpoints
+    from deepqlearning_tpu import LinearDecaySchedule
+    import jax.numpy as jnp
+    import numpy as np
+
+    s = LinearDecaySchedule(1.0, 0.01, 100)
+    assert float(s(jnp.asarray(-5))) == 1.0
+    assert abs(float(s(jnp.asarray(10**9))) - 0.01) < 1e-6
+    assert np.isfinite(float(s(jnp.asarray(0))))
+
+
+def test_linear_epsilon_greedy_tiny_steps_no_nan():
+    from deepqlearning_tpu import linear_epsilon_greedy
+    import jax.numpy as jnp
+    import numpy as np
+
+    pol = linear_epsilon_greedy(1, 0.5, 0.01)
+    assert np.isfinite(float(pol.eps(jnp.asarray(0))))

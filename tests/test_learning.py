@@ -124,3 +124,16 @@ def test_vectorized_envs_learning():
                      max_steps=16000, buffer_size=4096)
     policy = solver.solve(mdp)
     assert evaluate(mdp, policy, jax.random.PRNGKey(7)) >= 1.5
+
+
+def test_recurrent_populate_commits_episodes_multi_env():
+    # regression: populate sizing must give every env >= max_episode_length
+    # steps so episodes commit before training samples (review finding)
+    mdp = SimpleGridWorld()
+    model = Chain(Flatten(), LSTM(2, 8), Dense(8, mdp.num_actions))
+    solver = _solver(model, max_steps=64, recurrence=True, trace_length=5,
+                     num_envs=8, train_freq=8, prioritized_replay=False,
+                     dueling=False, max_episode_length=20, buffer_size=64,
+                     train_start=16, eval_freq=10_000)
+    policy = solver.solve(mdp)  # must not train on phantom empty records
+    assert policy.actionvalues(jnp.zeros(2)).shape == (mdp.num_actions,)
