@@ -30,6 +30,7 @@ from .envs.base import Env
 from .envs.test_mdp import TestMDP
 from .envs.gridworld import SimpleGridWorld
 from .envs.tiger import TigerPOMDP
+from .envs.cartpole import CartPole
 from .envs.adapters import MDPEnv, POMDPEnv
 from .envs.compat import HostEnv
 from .solver.exploration import (
@@ -59,7 +60,7 @@ __all__ = [
     "flattenbatch", "huber_loss", "batch_trajectories", "globalnorm",
     # envs
     "Env", "HostEnv", "MDPEnv", "POMDPEnv", "TestMDP", "SimpleGridWorld",
-    "TigerPOMDP",
+    "TigerPOMDP", "CartPole",
     # exploration / evaluation
     "EpsGreedyPolicy", "LinearDecaySchedule", "ConstantEpsilon",
     "linear_epsilon_greedy", "exploration", "basic_evaluation", "evaluation",

@@ -108,3 +108,25 @@ def test_tiger_listen_and_open():
         state, jnp.asarray(open_action), jax.random.PRNGKey(1)
     )
     assert float(r) == 10.0 and bool(done)
+
+
+def test_cartpole_physics_and_learning_signal():
+    from deepqlearning_tpu import CartPole
+
+    env = CartPole()
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4,)
+    # constant-left policy falls over within a few hundred steps
+    done_at = None
+    for t in range(500):
+        state, obs, r, done = env.step(state, jnp.asarray(0), jax.random.PRNGKey(t))
+        assert float(r) == 1.0
+        if bool(done):
+            done_at = t
+            break
+    assert done_at is not None and done_at < 300
+    # batch step works
+    states, obss = env.reset_batch(jax.random.PRNGKey(1), 32)
+    states, obss, r, d = env.step_batch(states, jnp.zeros(32, jnp.int32),
+                                        jax.random.PRNGKey(2))
+    assert obss.shape == (32, 4)
