@@ -137,3 +137,13 @@ def test_recurrent_populate_commits_episodes_multi_env():
                      train_start=16, eval_freq=10_000)
     policy = solver.solve(mdp)  # must not train on phantom empty records
     assert policy.actionvalues(jnp.zeros(2)).shape == (mdp.num_actions,)
+
+
+def test_bf16_replay_storage():
+    # cfg.dtype=bfloat16 stores replay obs in bf16 (HBM halved); training
+    # still learns (sampling casts back to f32)
+    mdp = TestMDP((5, 5), 4, 6)
+    solver = _solver(_mlp(mdp), max_steps=4000, double_q=True, dueling=False,
+                     prioritized_replay=True, dtype=jnp.bfloat16)
+    policy = solver.solve(mdp)
+    assert evaluate(mdp, policy, jax.random.PRNGKey(7)) >= 1.0
