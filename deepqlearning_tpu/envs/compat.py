@@ -121,6 +121,12 @@ def solve_host(solver, env: HostEnv):
 
     policy = NNPolicy(env, network, params, action_map, len(obs_shape))
     rng = np.random.RandomState(cfg.seed)
+    logger = None
+    if solver.logdir is not None:
+        from ..utils.tb_writer import TBWriter
+
+        logger = TBWriter(solver.logdir)
+        solver.logdir = logger.logdir
 
     # schedule-based strategies expose .eps (or are ε(t) schedules); any
     # other callable is a reference-style 5-arg action-choosing strategy
@@ -235,6 +241,16 @@ def solve_host(solver, env: HostEnv):
             eval_next = True
         if t % cfg.save_freq == 0:
             save_next = True
+        if t % cfg.log_freq == 0:
+            if logger is not None:
+                logger.log_value("loss", loss_val, step=t)
+                logger.log_value("grad_val", grad_val, step=t)
+                logger.log_value("eval_reward", scores_eval, step=t)
+            if cfg.verbose:
+                print(
+                    f"{t:5d} / {cfg.max_steps:5d} | Loss {loss_val:2.3e} | "
+                    f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f}"
+                )
 
     if model_saved and solver.logdir is not None:
         if cfg.verbose:

@@ -238,3 +238,23 @@ def test_functional_path_rejects_function_strategy():
     )
     with pytest.raises(TypeError, match="schedule-based"):
         solver.solve(SimpleGridWorld())
+
+
+def test_solver_deterministic_given_seed():
+    from deepqlearning_tpu import TestMDP
+
+    mdp = TestMDP((3,), 2, 4)
+    from deepqlearning_tpu import Flatten
+
+    def run():
+        model = Chain(Flatten(), Dense(6, 8), Dense(8, mdp.num_actions))
+        s = DeepQLearningSolver(
+            qnetwork=model, max_steps=400, train_start=100, logdir=None,
+            verbose=False, seed=11, eval_freq=10_000,
+            exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.1, 200)),
+        )
+        p = s.solve(mdp)
+        return p.actionvalues(np.zeros((3, 2), np.float32))
+
+    a, b = run(), run()
+    np.testing.assert_allclose(a, b)
