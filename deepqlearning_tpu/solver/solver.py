@@ -98,7 +98,15 @@ class DeepQLearningSolver:
         )
 
     # ------------------------------------------------------------------
-    def solve(self, env) -> NNPolicy:
+    def solve(self, env, resume: bool = False) -> NNPolicy:
+        """Train and return the greedy policy.
+
+        ``resume=True`` restores the full training state (params, target,
+        optimizer, replay, actor) saved in ``logdir`` by a previous solve and
+        continues for another ``max_steps`` — a true-resume extension the
+        reference lacks (its checkpoints are best-model params only,
+        SURVEY.md §5.4).
+        """
         from ..envs.compat import HostEnv, solve_host  # circular-safe import
 
         if isinstance(env, HostEnv):
@@ -108,10 +116,10 @@ class DeepQLearningSolver:
                 "solve expects a functional Env or a HostEnv; got "
                 f"{type(env).__name__}"
             )
-        return self._solve_functional(env)
+        return self._solve_functional(env, resume=resume)
 
     # ------------------------------------------------------------------
-    def _solve_functional(self, env: Env) -> NNPolicy:
+    def _solve_functional(self, env: Env, resume: bool = False) -> NNPolicy:
         cfg = self.config
         network = self._build_network()
         buffer = self._build_buffer(env)
@@ -173,6 +181,11 @@ class DeepQLearningSolver:
             actor, replay, params, target_params, opt_state, k_learn,
             jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
         )
+        if resume:
+            # true resume: params + target + optimizer + replay + actor state
+            # (extension over the reference, which can only restore best
+            # weights — SURVEY.md §5.4)
+            carry = checkpoint.load_train_state(self.logdir, carry)
         spi = cfg.env_steps_per_iter
         seg_env_steps = max(spi, min(cfg.log_freq, cfg.eval_freq, cfg.save_freq))
         seg_iters = max(1, seg_env_steps // spi)
@@ -258,6 +271,9 @@ class DeepQLearningSolver:
                         f"Grad {grad_val:2.3e} | EvalR {scores_eval:1.3f} | "
                         f"{sps:,.0f} steps/s"
                     )
+
+        if self.logdir is not None:
+            checkpoint.save_train_state(self.logdir, carry)
 
         params = carry.params
         if model_saved and self.logdir is not None:

@@ -93,3 +93,26 @@ def test_tb_writer_produces_readable_events(tmp_path):
         off += 16 + length
         records += 1
     assert records == 3  # file-version event + 2 scalars
+
+
+def test_full_train_state_resume(tmp_path):
+    from deepqlearning_tpu import SimpleGridWorld, EpsGreedyPolicy
+
+    mdp = SimpleGridWorld()
+    model = Chain(Dense(2, 8), Dense(8, mdp.num_actions))
+
+    def make():
+        return DeepQLearningSolver(
+            qnetwork=model, max_steps=300, train_start=100, logdir=str(tmp_path),
+            verbose=False, eval_freq=10_000, save_freq=10_000, log_freq=100,
+            exploration_policy=EpsGreedyPolicy(),
+        )
+
+    p1 = make().solve(mdp)
+    assert os.path.exists(os.path.join(str(tmp_path), checkpoint.TRAIN_STATE_NAME))
+    # resume continues from the saved optimizer/replay/params
+    p2 = make().solve(mdp, resume=True)
+    # resumed run trained further: params differ from the checkpointed ones
+    a = jax.tree_util.tree_leaves(p1.params)[0]
+    b = jax.tree_util.tree_leaves(p2.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
