@@ -31,6 +31,8 @@ from .envs.test_mdp import TestMDP
 from .envs.gridworld import SimpleGridWorld
 from .envs.tiger import TigerPOMDP
 from .envs.cartpole import CartPole
+from .envs.mountain_car import MountainCar
+from .envs.acrobot import Acrobot
 from .envs.adapters import MDPEnv, POMDPEnv
 from .envs.compat import HostEnv
 from .solver.exploration import (
@@ -60,7 +62,7 @@ __all__ = [
     "flattenbatch", "huber_loss", "batch_trajectories", "globalnorm",
     # envs
     "Env", "HostEnv", "MDPEnv", "POMDPEnv", "TestMDP", "SimpleGridWorld",
-    "TigerPOMDP", "CartPole",
+    "TigerPOMDP", "CartPole", "MountainCar", "Acrobot",
     # exploration / evaluation
     "EpsGreedyPolicy", "LinearDecaySchedule", "ConstantEpsilon",
     "linear_epsilon_greedy", "exploration", "basic_evaluation", "evaluation",

@@ -130,3 +130,80 @@ def test_cartpole_physics_and_learning_signal():
     states, obss, r, d = env.step_batch(states, jnp.zeros(32, jnp.int32),
                                         jax.random.PRNGKey(2))
     assert obss.shape == (32, 4)
+
+
+def test_mountain_car_pump_policy_reaches_goal():
+    from deepqlearning_tpu import MountainCar
+
+    env = MountainCar()
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2,) == env.obs_shape
+    # energy-pumping policy: push in the direction of motion; solves the
+    # valley escape in well under 200 steps from any start
+    done_at = None
+    for t in range(250):
+        a = 2 if float(state.velocity) >= 0.0 else 0
+        state, obs, r, done = env.step(state, jnp.asarray(a, jnp.int32),
+                                       jax.random.PRNGKey(t))
+        assert float(r) == -1.0
+        if bool(done):
+            done_at = t
+            break
+    assert done_at is not None and done_at < 200
+    assert float(state.position) >= env.goal_position
+
+
+def test_mountain_car_wall_and_speed_clamps():
+    from deepqlearning_tpu import MountainCar
+    from deepqlearning_tpu.envs.mountain_car import MountainCarState
+
+    env = MountainCar()
+    # driving hard left from the left edge: position clamps, velocity zeroed
+    state = MountainCarState(position=jnp.asarray(env.min_position),
+                             velocity=jnp.asarray(-env.max_speed))
+    state, obs, r, done = env.step(state, jnp.asarray(0), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(state.position), env.min_position, atol=1e-6)
+    assert float(state.velocity) == 0.0 and not bool(done)
+    # speed clamp holds under max thrust
+    state = MountainCarState(position=jnp.asarray(-0.5),
+                             velocity=jnp.asarray(env.max_speed))
+    state, _, _, _ = env.step(state, jnp.asarray(2), jax.random.PRNGKey(1))
+    assert abs(float(state.velocity)) <= env.max_speed + 1e-9
+
+
+def test_acrobot_dynamics_invariants():
+    from deepqlearning_tpu import Acrobot
+
+    env = Acrobot()
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (6,) == env.obs_shape
+    # near-rest start is far from the goal: not done
+    # cos/sin components stay normalized, velocities stay clipped, and the
+    # tip-height termination rule is respected along a random rollout
+    key = jax.random.PRNGKey(1)
+    for t in range(50):
+        key, ka, ks = jax.random.split(key, 3)
+        a = jax.random.randint(ka, (), 0, 3)
+        state, obs, r, done = env.step(state, a, ks)
+        assert float(r) == -1.0
+        o = np.asarray(obs)
+        np.testing.assert_allclose(o[0] ** 2 + o[1] ** 2, 1.0, atol=1e-5)
+        np.testing.assert_allclose(o[2] ** 2 + o[3] ** 2, 1.0, atol=1e-5)
+        assert abs(o[4]) <= float(env.MAX_VEL_1) + 1e-6
+        assert abs(o[5]) <= float(env.MAX_VEL_2) + 1e-6
+        height = -o[0] - np.cos(np.arctan2(o[1], o[0]) + np.arctan2(o[3], o[2]))
+        if bool(done):
+            assert height > 1.0 - 1e-5
+            break
+        assert np.all(np.isfinite(o))
+
+
+def test_acrobot_batch_step_jits():
+    from deepqlearning_tpu import Acrobot
+
+    env = Acrobot()
+    states, obss = env.reset_batch(jax.random.PRNGKey(2), 16)
+    step = jax.jit(env.step_batch)
+    states, obss, r, d = step(states, jnp.ones(16, jnp.int32), jax.random.PRNGKey(3))
+    assert obss.shape == (16, 6)
+    assert np.all(np.isfinite(np.asarray(obss)))
