@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.lookup import take0
 from .base import Env
 
 # (dx, dy) for up, down, left, right
@@ -42,10 +43,13 @@ class SimpleGridWorld(Env):
         self.discount = float(discount)
         self.num_actions = 4
         self.obs_shape = (2,)
-        grid = np.zeros(self.size, np.float32)
-        for (x, y), r in rewards.items():
-            grid[x - 1, y - 1] = r
-        self._reward_grid = jnp.asarray(grid)
+        cells = [(x, y) for (x, y), r in rewards.items() if r != 0.0]
+        self._reward_cells = jnp.asarray(
+            np.asarray(cells, np.int32).reshape(len(cells), 2)
+        )  # [K, 2]
+        self._reward_vals = jnp.asarray(
+            [rewards[c] for c in cells], jnp.float32
+        )  # [K]
         self._dirs = jnp.asarray(_DIRS)
 
     @property
@@ -68,17 +72,20 @@ class SimpleGridWorld(Env):
         return state, self.observe(state)
 
     def step(self, state: GridWorldState, action, key):
-        in_reward_cell = self._reward_grid[state.pos[0] - 1, state.pos[1] - 1] != 0.0
-        r = jnp.where(
-            state.terminal, 0.0, self._reward_grid[state.pos[0] - 1, state.pos[1] - 1]
-        )
+        # reward lookup by comparing against the (few) reward cells — a
+        # per-lane gather from the grid serializes on TPU (~8 ns/element,
+        # dominating the vectorized step); this is pure VPU compare+sum
+        at_cell = jnp.all(state.pos[None, :] == self._reward_cells, axis=1)
+        cell_r = jnp.sum(at_cell * self._reward_vals)
+        in_reward_cell = cell_r != 0.0
+        r = jnp.where(state.terminal, 0.0, cell_r)
         # stochastic direction: intended with prob tprob, else one of other 3
         ku, kd = jax.random.split(key)
         u = jax.random.uniform(ku)
         other = jax.random.randint(kd, (), 0, 3)
         other = jnp.where(other >= action, other + 1, other)  # skip intended
         direction = jnp.where(u < self.tprob, action.astype(jnp.int32), other)
-        delta = self._dirs[direction]
+        delta = take0(self._dirs, direction)
         new_pos = jnp.clip(
             state.pos + delta,
             jnp.asarray([1, 1], jnp.int32),

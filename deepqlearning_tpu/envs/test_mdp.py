@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.lookup import take0
 from .base import Env
 
 _HIST = 4  # the reference always keeps a history of 4 (test/test_env.jl:31)
@@ -53,7 +54,7 @@ class TestMDP(Env):
     def observe(self, state: TestMDPState) -> jnp.ndarray:
         # channel i is the image of the i-th most recent room (test/test_env.jl:52-58)
         recent = state.hist[_HIST - self.o_stack :][::-1]  # most recent first
-        frames = self._images[recent]  # [o_stack, *shape]
+        frames = take0(self._images, recent)  # [o_stack, *shape], gather-free
         return jnp.moveaxis(frames, 0, -1)  # [*shape, o_stack]
 
     def reset(self, key):
@@ -68,7 +69,7 @@ class TestMDP(Env):
         new_last = jnp.where(action < 3, action.astype(jnp.int32), prev_last)
         new_hist = new_hist.at[-1].set(new_last)
         t_new = state.t + 1
-        r = self._rewards[new_last]
+        r = take0(self._rewards, new_last)
         r = jnp.where(prev_last == 1, r * -10.0, r)
         done = t_new >= self.max_time
         new_state = TestMDPState(hist=new_hist, t=t_new)

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 from ..envs.base import auto_reset
 from ..replay.transition import TransitionBatch
 
-RETURN_RING = 128  # ring of recent episode returns for the avg-100 metric
+# Ring of per-lockstep-step episode-completion aggregates for the recent-
+# average log metric (the reference's "mean of last ~100 episodes",
+# src/solver.jl:134). Aggregating per step instead of per episode keeps the
+# bookkeeping one 1-element DMA per ring — the episode-slot scatter it
+# replaces cost ~275 µs/step at 32K envs (TPU scatters serialize per lane).
+RETURN_RING = 512
 
 
 class ActorState(NamedTuple):
@@ -25,9 +30,11 @@ class ActorState(NamedTuple):
     net_state: any          # recurrent net state for the E actor streams
     ep_step: jnp.ndarray    # [E] int32 — steps in current episode
     ep_ret: jnp.ndarray     # [E] float32 — return of current episode
-    ret_ring: jnp.ndarray   # [RETURN_RING] float32 — completed episode returns
+    ret_ring: jnp.ndarray   # [RETURN_RING] f32 — per-step sums of ended-episode returns
     ep_count: jnp.ndarray   # int32 — total completed episodes
-    step_ring: jnp.ndarray  # [RETURN_RING] float32 — completed episode lengths
+    step_ring: jnp.ndarray  # [RETURN_RING] f32 — per-step sums of ended-episode lengths
+    cnt_ring: jnp.ndarray   # [RETURN_RING] f32 — per-step counts of ended episodes
+    tick: jnp.ndarray       # int32 — lockstep step index mod RETURN_RING
     t: jnp.ndarray          # int32 — aggregate env steps so far
     key: jnp.ndarray
 
@@ -44,6 +51,8 @@ def init_actor(env, network, num_envs: int, key) -> ActorState:
         ret_ring=jnp.zeros((RETURN_RING,), jnp.float32),
         ep_count=jnp.asarray(0, jnp.int32),
         step_ring=jnp.zeros((RETURN_RING,), jnp.float32),
+        cnt_ring=jnp.zeros((RETURN_RING,), jnp.float32),
+        tick=jnp.asarray(0, jnp.int32),
         t=jnp.asarray(0, jnp.int32),
         key=k_run,
     )
@@ -86,18 +95,23 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
         )
         replay = insert_fn(replay, transition, ended)
 
-        # episode bookkeeping (src/solver.jl:99-134)
+        # episode bookkeeping (src/solver.jl:99-134): write this step's
+        # completion aggregates into one ring slot (a 1-element DMA each)
         ep_ret = actor.ep_ret + reward
         ep_step = actor.ep_step + 1
-        # record each finished episode's return into the ring
+        ended_f = ended.astype(jnp.float32)
         n_end = jnp.sum(ended.astype(jnp.int32))
-        finish_order = jnp.cumsum(ended.astype(jnp.int32)) - 1
-        slots = jnp.where(ended, (actor.ep_count + finish_order) % RETURN_RING,
-                          RETURN_RING)  # RETURN_RING = drop
-        ret_ring = jnp.concatenate([actor.ret_ring, jnp.zeros((1,))])
-        ret_ring = ret_ring.at[slots].set(ep_ret)[:RETURN_RING]
-        step_ring = jnp.concatenate([actor.step_ring, jnp.zeros((1,))])
-        step_ring = step_ring.at[slots].set(ep_step.astype(jnp.float32))[:RETURN_RING]
+        slot = actor.tick
+
+        def put1(ring, val):
+            return jax.lax.dynamic_update_slice(
+                ring, val.reshape((1,)).astype(jnp.float32), (slot,)
+            )
+
+        ret_ring = put1(actor.ret_ring, jnp.sum(ep_ret * ended_f))
+        step_ring = put1(actor.step_ring,
+                         jnp.sum(ep_step.astype(jnp.float32) * ended_f))
+        cnt_ring = put1(actor.cnt_ring, n_end.astype(jnp.float32))
 
         # reset ended streams: env, episode stats, and recurrent state
         # (resetstate! parity, src/solver.jl:128)
@@ -117,6 +131,8 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
             ret_ring=ret_ring,
             ep_count=actor.ep_count + n_end,
             step_ring=step_ring,
+            cnt_ring=cnt_ring,
+            tick=(actor.tick + 1) % RETURN_RING,
             # saturating counter: t only feeds the ε schedule (which is flat
             # past its horizon), so cap it instead of overflowing int32 —
             # at headline throughput 2^31 steps is minutes of wall time
@@ -128,8 +144,8 @@ def make_collect_step(env, network, max_episode_length: int, eps_fn,
     return step
 
 
-def avg_recent(ring: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
-    """Mean over the last min(count, RETURN_RING) completed episodes."""
-    n = jnp.minimum(count, RETURN_RING)
-    mask = jnp.arange(RETURN_RING) < n
-    return jnp.sum(ring * mask) / jnp.maximum(n, 1)
+def avg_recent(ret_ring: jnp.ndarray, cnt_ring: jnp.ndarray) -> jnp.ndarray:
+    """Mean return over episodes completed in the last RETURN_RING lockstep
+    steps (the recent-average analog of the reference's mean-of-last-~100-
+    episodes log metric, src/solver.jl:134)."""
+    return jnp.sum(ret_ring) / jnp.maximum(jnp.sum(cnt_ring), 1.0)

@@ -81,6 +81,30 @@ def get_leaf(tree: Tree, indices: jnp.ndarray) -> jnp.ndarray:
     return tree[0][indices]
 
 
+def _fetch_children(child_level: jnp.ndarray, idx: jnp.ndarray, P: int,
+                    bf: int) -> jnp.ndarray:
+    """``child_level.reshape(P, bf)[idx]`` without a gather.
+
+    Single one-hot matmul for small parent counts; for large P, a two-stage
+    select (stripe of ``P2`` sibling blocks, then block within the stripe)
+    keeps the one-hot intermediates at O(B·P/P2 + B·P2·bf) instead of O(B·P).
+    """
+    B = idx.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    blocks = child_level.reshape(P, bf)
+    if P <= 1024:
+        oh = jax.nn.one_hot(idx, P, dtype=jnp.float32)           # [B, P]
+        return jnp.matmul(oh, blocks, precision=hi)
+    P2 = max(1024 // bf, 1)          # blocks per stripe (P is a power of two)
+    P1 = P // P2
+    oh1 = jax.nn.one_hot(idx // P2, P1, dtype=jnp.float32)      # [B, P1]
+    stripes = jnp.matmul(
+        oh1, blocks.reshape(P1, P2 * bf), precision=hi
+    ).reshape(B, P2, bf)                                         # [B, P2, bf]
+    oh2 = jax.nn.one_hot(idx % P2, P2, dtype=jnp.float32)       # [B, P2]
+    return jnp.einsum("bp,bpf->bf", oh2, stripes, precision=hi)
+
+
 def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
     """Draw ``batch_size`` leaf indices proportional to leaf priority.
 
@@ -89,9 +113,12 @@ def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
     (``src/prioritized_experience_replay.jl:85``) which has no fixed-shape
     batched analog — documented deviation (SURVEY.md §7 hard part (a)).
 
-    Descent per level: gather each sample's ``bf`` children ([B, bf]), prefix
-    sum across children, and pick the first child whose cumulative mass
-    exceeds the residual — one gather + VPU math per level.
+    Descent per level: fetch each sample's ``bf`` children ([B, bf]) as a
+    one-hot matmul against the level reshaped to [parents, bf] — a per-lane
+    gather serializes on TPU (~8 ns/element: B·bf·levels ≈ 40K elements was
+    ~300 µs/sample); the one-hot contraction rides the MXU instead. Then
+    prefix-sum across children and pick the first whose cumulative mass
+    exceeds the residual.
 
     Returns ``(indices [B] int32, priorities [B] float32)``.
     """
@@ -104,8 +131,9 @@ def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
     # on a node of `parent_level` and choose among its bf children in `child_level`
     pairs = list(zip(tree[:-1], tree[1:]))  # (child_level, parent_level), leaves up
     for child_level, parent_level in reversed(pairs):
-        bf = child_level.shape[0] // parent_level.shape[0]
-        children = child_level[idx[:, None] * bf + jnp.arange(bf)[None, :]]  # [B, bf]
+        P = parent_level.shape[0]
+        bf = child_level.shape[0] // P
+        children = _fetch_children(child_level, idx, P, bf)      # [B, bf]
         csum = jnp.cumsum(children, axis=1)
         j = jnp.sum(mass[:, None] >= csum, axis=1).astype(jnp.int32)
         j = jnp.minimum(j, bf - 1)

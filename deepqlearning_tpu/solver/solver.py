@@ -252,7 +252,7 @@ class DeepQLearningSolver:
                 sps = (n * spi / seg_s) if seg_s else 0.0
                 loss_val = float(carry.loss)
                 grad_val = float(carry.gnorm)
-                avg100 = float(avg_recent(actor.ret_ring, actor.ep_count))
+                avg100 = float(avg_recent(actor.ret_ring, actor.cnt_ring))
                 eps_val = float(jnp.asarray(eps_fn(jnp.asarray(t1))))
                 self.metrics["t"].append(t1)
                 self.metrics["loss"].append(loss_val)
