@@ -38,7 +38,11 @@ class TrainResult(NamedTuple):
 
 
 def make_optimizer(learning_rate: float):
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    # flatten: run Adam on one concatenated vector instead of per-leaf —
+    # the per-leaf version is ~10 extra tiny kernels in an already
+    # latency-bound serial update chain; elementwise Adam is bit-identical
+    # either way
+    return optax.flatten(optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8))
 
 
 def _bellman_targets(network, params, target_params, next_obs, reward, done,

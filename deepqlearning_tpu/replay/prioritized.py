@@ -32,14 +32,18 @@ from .transition import TransitionBatch
 
 
 class ReplayState(NamedTuple):
-    """Device-resident replay buffer state (a pytree; carry it through jit)."""
+    """Device-resident replay buffer state (a pytree; carry it through jit).
 
-    obs: jnp.ndarray       # [C, *obs_shape]
-    action: jnp.ndarray    # [C] int32
-    reward: jnp.ndarray    # [C] float32
-    next_obs: jnp.ndarray  # [C, *obs_shape]
-    done: jnp.ndarray      # [C] float32
-    tree: jnp.ndarray      # [2 * cap2] sum-tree (cap2 = next pow2 >= C)
+    Transitions are stored *packed* — (obs, next_obs) as one array and
+    (action, reward, done) as another — so sampling a batch is 2 row
+    gathers instead of 5. Row gathers serialize per row on TPU (~13 ns/row
+    measured on v5e); at batch 512 the 5-field layout cost ~34 µs/update,
+    the packed one ~13 µs.
+    """
+
+    obs_pair: jnp.ndarray  # [C, 2, *obs_shape] — [:, 0]=obs, [:, 1]=next_obs
+    ard: jnp.ndarray       # [C, 4] float32 — action, reward, done, pad
+    tree: jnp.ndarray      # per-level sum-tree tuple (leaves = cap2 >= C)
     insert_pos: jnp.ndarray  # int32 scalar
     size: jnp.ndarray        # int32 scalar
 
@@ -75,15 +79,25 @@ class PrioritizedReplayBuffer:
     def init(self) -> ReplayState:
         C = self.max_size
         return ReplayState(
-            obs=jnp.zeros((C,) + self.obs_shape, self.obs_dtype),
-            action=jnp.zeros((C,), jnp.int32),
-            reward=jnp.zeros((C,), jnp.float32),
-            next_obs=jnp.zeros((C,) + self.obs_shape, self.obs_dtype),
-            done=jnp.zeros((C,), jnp.float32),
+            obs_pair=jnp.zeros((C, 2) + self.obs_shape, self.obs_dtype),
+            ard=jnp.zeros((C, 4), jnp.float32),
             tree=sumtree.init_tree(C),
             insert_pos=jnp.asarray(0, jnp.int32),
             size=jnp.asarray(0, jnp.int32),
         )
+
+    @staticmethod
+    def _pack(batch: TransitionBatch, obs_dtype):
+        obs_pair = jnp.stack(
+            [batch.obs, batch.next_obs], axis=1
+        ).astype(obs_dtype)                                   # [E, 2, *obs]
+        E = batch.action.shape[0]
+        ard = jnp.stack(
+            [batch.action.astype(jnp.float32), batch.reward.astype(jnp.float32),
+             batch.done.astype(jnp.float32), jnp.zeros((E,), jnp.float32)],
+            axis=1,
+        )                                                      # [E, 4]
+        return obs_pair, ard
 
     def _initial_priority(self, reward: jnp.ndarray) -> jnp.ndarray:
         if self.prioritized:
@@ -101,6 +115,7 @@ class PrioritizedReplayBuffer:
         """
         E = batch.action.shape[0]
         prio = self._initial_priority(batch.reward)
+        obs_pair, ard = self._pack(batch, self.obs_dtype)
         if self.max_size % E == 0:
             pos = state.insert_pos
 
@@ -111,22 +126,16 @@ class PrioritizedReplayBuffer:
                 )
 
             return ReplayState(
-                obs=put(state.obs, batch.obs),
-                action=put(state.action, batch.action),
-                reward=put(state.reward, batch.reward),
-                next_obs=put(state.next_obs, batch.next_obs),
-                done=put(state.done, batch.done),
+                obs_pair=put(state.obs_pair, obs_pair),
+                ard=put(state.ard, ard),
                 tree=sumtree.set_priorities_slice(state.tree, pos, prio),
                 insert_pos=(state.insert_pos + E) % self.max_size,
                 size=jnp.minimum(state.size + E, self.max_size),
             )
         idx = (state.insert_pos + jnp.arange(E, dtype=jnp.int32)) % self.max_size
         return ReplayState(
-            obs=state.obs.at[idx].set(batch.obs.astype(self.obs_dtype)),
-            action=state.action.at[idx].set(batch.action.astype(jnp.int32)),
-            reward=state.reward.at[idx].set(batch.reward.astype(jnp.float32)),
-            next_obs=state.next_obs.at[idx].set(batch.next_obs.astype(self.obs_dtype)),
-            done=state.done.at[idx].set(batch.done.astype(jnp.float32)),
+            obs_pair=state.obs_pair.at[idx].set(obs_pair),
+            ard=state.ard.at[idx].set(ard),
             tree=sumtree.set_priorities(state.tree, idx, prio),
             insert_pos=(state.insert_pos + E) % self.max_size,
             size=jnp.minimum(state.size + E, self.max_size),
@@ -135,12 +144,14 @@ class PrioritizedReplayBuffer:
     def sample(self, state: ReplayState, key):
         """Sample a batch; returns (TransitionBatch, indices, is_weights)."""
         idx, prio = sumtree.sample(state.tree, key, self.batch_size)
+        pair = state.obs_pair[idx].astype(jnp.float32)  # [B, 2, *obs]
+        ard = state.ard[idx]                            # [B, 4]
         batch = TransitionBatch(
-            obs=state.obs[idx].astype(jnp.float32),
-            action=state.action[idx],
-            reward=state.reward[idx],
-            next_obs=state.next_obs[idx].astype(jnp.float32),
-            done=state.done[idx],
+            obs=pair[:, 0],
+            action=ard[:, 0].astype(jnp.int32),
+            reward=ard[:, 1],
+            next_obs=pair[:, 1],
+            done=ard[:, 2],
         )
         if self.prioritized:
             p = prio / sumtree.total(state.tree)

@@ -86,10 +86,10 @@ def test_ring_insert_wraparound():
     assert int(st.size) == 6 and int(st.insert_pos) == 6
     st = buf.insert(st, _batch(6, base=50.0))
     assert int(st.size) == 10 and int(st.insert_pos) == 2
-    # slots 6..9 and 0..1 hold the second batch
-    np.testing.assert_allclose(np.asarray(st.reward[6]), 50.0)
-    np.testing.assert_allclose(np.asarray(st.reward[1]), 55.0)
-    np.testing.assert_allclose(np.asarray(st.reward[2]), 2.0)  # first batch remains
+    # slots 6..9 and 0..1 hold the second batch (ard column 1 = reward)
+    np.testing.assert_allclose(np.asarray(st.ard[6, 1]), 50.0)
+    np.testing.assert_allclose(np.asarray(st.ard[1, 1]), 55.0)
+    np.testing.assert_allclose(np.asarray(st.ard[2, 1]), 2.0)  # first batch remains
 
 
 def test_per_insert_priority_is_abs_reward():
