@@ -91,12 +91,19 @@ def main():
         )
         return carry._replace(actor=actor, replay=replay)
 
+    # sync via an actual device->host read: on the tunneled axon backend
+    # block_until_ready can return before execution finishes (measured: a
+    # "blocked" call returned in 3 ms while its compute ran another 1.2 s),
+    # so timing must bracket with a host read of a scalar output
+    def sync(carry):
+        return float(carry.loss)
+
     carry = populate(carry)
     # two warm-up executions: the first post-compile call pays one-time
     # lazy-initialization costs on the tunneled backend
     for _ in range(2):
         carry = run(carry)
-        jax.block_until_ready(carry.loss)
+        sync(carry)
 
     # timed runs (report the best-of-reps to reject tunnel hiccups)
     reps = 3
@@ -104,7 +111,7 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         carry = run(carry)
-        jax.block_until_ready(carry.loss)
+        sync(carry)
         best = min(best, time.perf_counter() - t0)
 
     steps = n_iters * cfg.env_steps_per_iter

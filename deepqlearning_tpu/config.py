@@ -56,6 +56,12 @@ class DQNConfig:
     # --- TPU-native extensions ---
     num_envs: int = 1
     dtype: Any = jnp.float32
+    # When several train updates run back-to-back per iteration
+    # (updates_per_iter > 1), share one replay sample + priority update
+    # across them (see learner/train_step.py::make_grouped_dqn_train_step;
+    # deviation documented in docs/DEVIATIONS.md). No effect when
+    # updates_per_iter == 1.
+    grouped_updates: bool = True
     # Name of the data-parallel mesh axis when running under shard_map/pjit.
     data_axis: str = "data"
 

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 
 from ..config import DQNConfig
 from .actor import ActorState, make_collect_step
-from .train_step import make_dqn_train_step, make_drqn_train_step, sync_target
+from .train_step import (
+    make_dqn_train_step,
+    make_drqn_train_step,
+    make_grouped_dqn_train_step,
+    sync_target,
+)
 
 
 class LoopCarry(NamedTuple):
@@ -42,12 +47,20 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
     is the ε=1 collect step used to pre-fill replay
     (``initialize_replay_buffer``, ``src/solver.jl:180-189``).
     """
+    grouped = (not cfg.recurrence and cfg.grouped_updates
+               and cfg.updates_per_iter > 1)
     if cfg.recurrence:
         train_step, optimizer = make_drqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
             axis_name=axis_name,
         )
         insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
+    elif grouped:
+        train_step, optimizer = make_grouped_dqn_train_step(
+            network, buffer, gamma, cfg.double_q, cfg.learning_rate,
+            cfg.updates_per_iter, axis_name=axis_name,
+        )
+        insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
     else:
         train_step, optimizer = make_dqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
@@ -80,7 +93,8 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
                 collect_step, (actor, replay, params), None,
                 length=cfg.steps_per_iter,
             )
-        for _ in range(cfg.updates_per_iter):
+        n_calls = 1 if grouped else cfg.updates_per_iter
+        for _ in range(n_calls):
             lkey, k = jax.random.split(lkey)
             res = train_step(params, target_params, opt_state, replay, k)
             params, opt_state, replay = res.params, res.opt_state, res.replay_state

@@ -59,33 +59,44 @@ def _bellman_targets(network, params, target_params, next_obs, reward, done,
     return reward + (1.0 - done) * gamma * q_sp_max
 
 
-def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
-                        learning_rate: float, axis_name: Optional[str] = None,
-                        use_pallas: Optional[bool] = None):
-    """Feed-forward path. Returns
-    ``step(params, target_params, opt_state, replay_state, key) -> TrainResult``.
+def _make_batch_update(network, buffer, gamma, double_q, optimizer,
+                       axis_name, use_pallas):
+    """Shared inner update: one (batch, weights) → grads → Adam.
 
-    ``use_pallas`` selects the fused Pallas TD-loss/priority kernel
-    (``ops/pallas/td_kernel.py``) for the loss head; default: on for TPU
-    backends, off elsewhere (the jnp path is the reference semantics either
-    way — the kernel is bit-equivalent, see tests/test_pallas_kernels.py).
+    Returns ``update(params, target_params, opt_state, batch, weights) ->
+    (params, opt_state, td, prio_or_None, loss, grad_norm)``.
     """
-    optimizer = make_optimizer(learning_rate)
     B = buffer.batch_size
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
 
-    def step(params, target_params, opt_state, replay_state, key):
-        batch, idx, weights = buffer.sample(replay_state, key)
+    def _q_pair(p, batch):
+        """Online-net Q(s) and stop-grad Q(s') in ONE chain traversal.
+
+        The online net is needed on both s (differentiated) and s' (double-Q
+        argmax, stop-gradient). Concatenating the batches halves the number
+        of latency-bound small matmul launches in the serial update chain;
+        ``stop_gradient`` keeps the outside-the-tape target semantics of the
+        reference (``src/solver.jl:209-217``) exactly.
+        """
+        if not double_q:
+            q, _ = network.apply(p, batch.obs)
+            return q, None
+        q_cat, _ = network.apply(
+            p, jnp.concatenate([batch.obs, batch.next_obs], axis=0)
+        )
+        return q_cat[:B], jax.lax.stop_gradient(q_cat[B:])
+
+    def update(params, target_params, opt_state, batch, weights,
+               q_sp_tgt=None):
+        if q_sp_tgt is None:
+            q_sp_tgt, _ = network.apply(target_params, batch.next_obs)
 
         if use_pallas:
             from ..ops.pallas.td_kernel import td_loss_fused
 
-            q_sp_tgt, _ = network.apply(target_params, batch.next_obs)
-            q_sp_onl, _ = network.apply(params, batch.next_obs)
-
             def loss_fn(p):
-                q, _ = network.apply(p, batch.obs)
+                q, q_sp_onl = _q_pair(p, batch)
+                if q_sp_onl is None:
+                    q_sp_onl = q_sp_tgt  # unused by the kernel's max path
                 loss, td, prio = td_loss_fused(
                     q, q_sp_onl, q_sp_tgt, batch.action, batch.reward,
                     batch.done, weights, gamma, buffer.alpha, buffer.eps,
@@ -97,13 +108,17 @@ def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
                 loss_fn, has_aux=True
             )(params)
         else:
-            q_targets = _bellman_targets(
-                network, params, target_params, batch.next_obs,
-                batch.reward, batch.done, gamma, double_q,
-            )
 
             def loss_fn(p):
-                q, _ = network.apply(p, batch.obs)
+                q, q_sp_onl = _q_pair(p, batch)
+                if double_q:
+                    best = jnp.argmax(q_sp_onl, axis=-1)
+                    q_sp_max = jnp.take_along_axis(
+                        q_sp_tgt, best[..., None], axis=-1
+                    )[..., 0]
+                else:
+                    q_sp_max = jnp.max(q_sp_tgt, axis=-1)
+                q_targets = batch.reward + (1.0 - batch.done) * gamma * q_sp_max
                 q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
                 td = q_sa - q_targets
                 loss = jnp.sum(huber_loss(weights * td)) / B
@@ -117,10 +132,108 @@ def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
         grad_norm = globalnorm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        return params, opt_state, td, prio, loss, grad_norm
+
+    return update
+
+
+def make_dqn_train_step(network, buffer, gamma: float, double_q: bool,
+                        learning_rate: float, axis_name: Optional[str] = None,
+                        use_pallas: Optional[bool] = None):
+    """Feed-forward path. Returns
+    ``step(params, target_params, opt_state, replay_state, key) -> TrainResult``.
+
+    ``use_pallas`` selects the fused Pallas TD-loss/priority kernel
+    (``ops/pallas/td_kernel.py``) for the loss head; default: on for TPU
+    backends, off elsewhere (the jnp path is the reference semantics either
+    way — the kernel is bit-equivalent, see tests/test_pallas_kernels.py).
+    """
+    optimizer = make_optimizer(learning_rate)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    update = _make_batch_update(network, buffer, gamma, double_q, optimizer,
+                                axis_name, use_pallas)
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch, idx, weights = buffer.sample(replay_state, key)
+        params, opt_state, td, prio, loss, grad_norm = update(
+            params, target_params, opt_state, batch, weights
+        )
         replay_state = buffer.update_priorities(
             replay_state, idx, td, priorities=prio
         )
         return TrainResult(params, opt_state, replay_state, loss, grad_norm)
+
+    return step, optimizer
+
+
+def make_grouped_dqn_train_step(network, buffer, gamma: float, double_q: bool,
+                                learning_rate: float, n_updates: int,
+                                axis_name: Optional[str] = None,
+                                use_pallas: Optional[bool] = None):
+    """``n_updates`` sequential Adam updates sharing ONE replay sample.
+
+    At high env counts the loop runs several train updates back-to-back per
+    iteration (``updates_per_iter``); the sum-tree descent, row gather, and
+    priority scatter+rebuild are latency-bound and dominate each update. This
+    step draws all ``n_updates * batch_size`` transitions in one stratified
+    descent, de-interleaves them stride-``n_updates`` so every sub-batch
+    still spans the full priority mass, scans the grad/Adam updates over the
+    sub-batches (parameters advance between sub-batches exactly as in the
+    sequential form), and commits one merged priority update at the end.
+
+    Documented deviation (docs/DEVIATIONS.md): within one grouped step the
+    sub-batches are drawn against the tree state at the start of the step
+    rather than after each sub-update — the same data/update ratio as the
+    reference (``train_freq``, ``src/solver.jl:7``), with priorities up to
+    ``n_updates - 1`` sub-updates stale. ``n_updates=1`` matches
+    ``make_dqn_train_step`` (up to float reassociation).
+    """
+    optimizer = make_optimizer(learning_rate)
+    B, U = buffer.batch_size, int(n_updates)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    update = _make_batch_update(network, buffer, gamma, double_q, optimizer,
+                                axis_name, use_pallas)
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch, idx, weights = buffer.sample_n(replay_state, key, U)
+
+        # target net is frozen within the step, so its forward runs ONCE on
+        # the whole [U*B] draw instead of once per sub-update inside the
+        # serial scan chain (exact: sequential form uses the same params)
+        q_sp_tgt_all, _ = network.apply(target_params, batch.next_obs)
+
+        # [U*B] → [U, B]: stride-U de-interleave so consecutive strata go to
+        # different sub-batches (sub-batch u takes draws u, u+U, u+2U, …)
+        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        batches = jax.tree_util.tree_map(de, batch)
+        w_u = de(weights)
+        q_sp_tgt_u = de(q_sp_tgt_all)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            b, w, q_sp_tgt = xs
+            params, opt_state, td, prio, loss, grad_norm = update(
+                params, target_params, opt_state, b, w, q_sp_tgt=q_sp_tgt
+            )
+            if prio is None:
+                prio = jnp.zeros_like(td)  # unused (jnp path recomputes)
+            return (params, opt_state), (td, prio, loss, grad_norm)
+
+        (params, opt_state), (tds, prios, losses, gnorms) = jax.lax.scan(
+            body, (params, opt_state), (batches, w_u, q_sp_tgt_u)
+        )
+
+        # merged priority update: re-interleave back to draw order
+        re = lambda x: jnp.swapaxes(x, 0, 1).reshape((U * B,) + x.shape[2:])
+        replay_state = buffer.update_priorities(
+            replay_state, idx, re(tds),
+            priorities=re(prios) if use_pallas else None,
+        )
+        # report the last sub-update's loss/grad (the "latest" the host logs)
+        return TrainResult(params, opt_state, replay_state,
+                           losses[-1], gnorms[-1])
 
     return step, optimizer
 

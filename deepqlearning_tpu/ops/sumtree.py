@@ -5,11 +5,14 @@ The reference samples with an O(N) linear weighted draw
 which cannot scale; SURVEY.md §2.2 mandates a tree/prefix-sum sampler.
 
 Representation: a tuple of per-level arrays, leaves first, with a **fat
-branching factor** (16 by default) — a 128K-leaf tree is 5 levels instead of
-17. On TPU every level update/descend is a separate small kernel, so depth is
-a *latency* chain; fat nodes trade a few extra VPU lanes (cumsum over 16
-children, fully vectorized) for 3-4× fewer dependent ops. Contiguous leaf
-updates are ``dynamic_update_slice`` DMAs, not scatters.
+branching factor** (64 by default) — a 256K-leaf tree is 3 levels instead of
+18. Depth costs twice on TPU: each level is a dependent kernel (latency
+chain), and each descended level materializes one-hot selection intermediates
+(HBM traffic ∝ draws × stripe width). Profiling the 256K-leaf/4096-draw
+bench shape: branch-16 descent = 258 µs/iteration (three heavy levels);
+branch-64 has a single heavy level. Fat nodes trade extra VPU lanes (cumsum
+over 64 children, fully vectorized) for that. Contiguous leaf updates are
+``dynamic_update_slice`` DMAs, not scatters.
 
 All ops are batched, jit-friendly; no host sync, no data-dependent shapes.
 """
@@ -22,7 +25,7 @@ import jax.numpy as jnp
 
 Tree = Tuple[jnp.ndarray, ...]
 
-BRANCH = 16
+BRANCH = 64
 
 
 def tree_capacity(n: int) -> int:
@@ -95,8 +98,13 @@ def _fetch_children(child_level: jnp.ndarray, idx: jnp.ndarray, P: int,
     if P <= 1024:
         oh = jax.nn.one_hot(idx, P, dtype=jnp.float32)           # [B, P]
         return jnp.matmul(oh, blocks, precision=hi)
-    P2 = max(1024 // bf, 1)          # blocks per stripe (P is a power of two)
-    P1 = P // P2
+    # split so the two intermediates balance: per-draw elements =
+    # P1 (oh1) + P2*bf (stripe row); minimized at P1 = sqrt(P*bf)
+    P1 = 1
+    while P1 * P1 < P * bf:
+        P1 *= 2
+    P1 = min(P1, P)
+    P2 = P // P1
     oh1 = jax.nn.one_hot(idx // P2, P1, dtype=jnp.float32)      # [B, P1]
     stripes = jnp.matmul(
         oh1, blocks.reshape(P1, P2 * bf), precision=hi

@@ -143,9 +143,22 @@ class PrioritizedReplayBuffer:
 
     def sample(self, state: ReplayState, key):
         """Sample a batch; returns (TransitionBatch, indices, is_weights)."""
-        idx, prio = sumtree.sample(state.tree, key, self.batch_size)
-        pair = state.obs_pair[idx].astype(jnp.float32)  # [B, 2, *obs]
-        ard = state.ard[idx]                            # [B, 4]
+        return self.sample_n(state, key, 1)
+
+    def sample_n(self, state: ReplayState, key, n_batches: int):
+        """Draw ``n_batches * batch_size`` transitions in ONE tree descent.
+
+        Used by the grouped train step: at high env counts several updates
+        run back-to-back per iteration, and sharing a single stratified
+        descent + row gather amortizes the latency-bound sampling chain
+        across them. Returns flat ``[n*B]`` leading-dim arrays; the caller
+        de-interleaves into sub-batches (stride ``n``) so every sub-batch
+        still covers the full priority mass.
+        """
+        total_draws = self.batch_size * n_batches
+        idx, prio = sumtree.sample(state.tree, key, total_draws)
+        pair = state.obs_pair[idx].astype(jnp.float32)  # [nB, 2, *obs]
+        ard = state.ard[idx]                            # [nB, 4]
         batch = TransitionBatch(
             obs=pair[:, 0],
             action=ard[:, 0].astype(jnp.int32),
@@ -157,7 +170,7 @@ class PrioritizedReplayBuffer:
             p = prio / sumtree.total(state.tree)
             weights = (state.size.astype(jnp.float32) * p) ** (-self.beta)
         else:
-            weights = jnp.ones((self.batch_size,), jnp.float32)
+            weights = jnp.ones((total_draws,), jnp.float32)
         return batch, idx, weights
 
     def update_priorities(

@@ -1,4 +1,10 @@
-"""Micro-profiling of the bench loop components on the current platform.
+"""Phase-level profiling of the headline bench loop on the current platform.
+
+Times the REAL iteration at bench shapes and DCE-proof variants of its two
+phases (collect-only / train-only). Every timed function returns the full
+carry and we block on every leaf — returning a scalar lets XLA dead-code-
+eliminate the replay writes and train math, which made an earlier version of
+this script report fantasy numbers.
 
 Run from anywhere: ``python scripts/profile_bench.py``. (Do NOT use
 PYTHONPATH — it leaks into the axon TPU plugin's helper subprocess and breaks
@@ -13,120 +19,201 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from deepqlearning_tpu import (
     Chain, Dense, DQNConfig, Flatten, SimpleGridWorld, create_dueling_network,
 )
-from deepqlearning_tpu.learner.actor import init_actor, make_collect_step
+from deepqlearning_tpu.learner.actor import init_actor
 from deepqlearning_tpu.learner.loop import LoopCarry, build_loop
-from deepqlearning_tpu.learner.train_step import make_dqn_train_step
 from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
-from deepqlearning_tpu.replay.transition import TransitionBatch
 from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
-from deepqlearning_tpu.ops import sumtree
 
-E = 4096
-C = 1 << 17
+E = int(os.environ.get("PROF_ENVS", "32768"))
+C = 1 << 18
 B = 512
-N_ITERS = 50
+TRAIN_FREQ = 4096
+N_ITERS = int(os.environ.get("PROF_ITERS", "400"))
 
 env = SimpleGridWorld()
 chain = Chain(Flatten(), Dense(2, 64, jnp.tanh), Dense(64, 64, jnp.tanh),
               Dense(64, env.num_actions))
 network = create_dueling_network(chain)
-buffer = PrioritizedReplayBuffer(env.obs_shape, C, B, prioritized=True)
-params = network.init(jax.random.PRNGKey(0))
-actor = init_actor(env, network, E, jax.random.PRNGKey(1))
-replay = buffer.init()
-
-
-def timed(name, fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"{name:28s} {dt*1e3:9.3f} ms   ({dt/N_ITERS*1e6:8.1f} us/iter)")
-    return out
-
-
-# 1. env-step only (scan N_ITERS lockstep steps, no replay insert)
-def collect_only(actor, params):
-    step = make_collect_step(env, network, 100, lambda t: jnp.asarray(0.5),
-                             lambda r, tr, e: r)
-    (actor, _, _), _ = jax.lax.scan(step, (actor, None, params), None, N_ITERS)
-    return actor.t
-
-timed("collect only", jax.jit(collect_only), actor, params)
-
-# 2. collect + insert
-def collect_insert(actor, replay, params):
-    step = make_collect_step(env, network, 100, lambda t: jnp.asarray(0.5),
-                             lambda r, tr, e: buffer.insert(r, tr))
-    (actor, replay, _), _ = jax.lax.scan(step, (actor, replay, params), None, N_ITERS)
-    return replay.insert_pos
-
-timed("collect + insert", jax.jit(collect_insert), actor, replay, params)
-
-# 3. insert only
-tr = TransitionBatch(
-    obs=jnp.zeros((E, 2)), action=jnp.zeros((E,), jnp.int32),
-    reward=jnp.ones((E,)), next_obs=jnp.zeros((E, 2)),
-    done=jnp.zeros((E,)),
+cfg = DQNConfig(
+    num_envs=E, batch_size=B, buffer_size=C, train_freq=TRAIN_FREQ,
+    max_episode_length=100, double_q=True, dueling=True,
+    prioritized_replay=True,
 )
-def insert_only(replay):
-    def body(r, _):
-        return buffer.insert(r, tr), None
-    replay, _ = jax.lax.scan(body, replay, None, N_ITERS)
-    return replay.insert_pos
+buffer = PrioritizedReplayBuffer(
+    env.obs_shape, C, B, alpha=cfg.prioritized_replay_alpha,
+    beta=cfg.prioritized_replay_beta, eps=cfg.prioritized_replay_epsilon,
+    prioritized=True,
+)
+iteration, populate_step, optimizer = build_loop(
+    env, network, buffer, cfg, LinearDecaySchedule(1.0, 0.01, 100_000),
+    gamma=env.discount,
+)
 
-timed("insert only", jax.jit(insert_only), replay)
+key = jax.random.PRNGKey(0)
+k_init, k_act, k_learn = jax.random.split(key, 3)
+params = network.init(k_init)
+carry0 = LoopCarry(
+    actor=init_actor(env, network, E, k_act), replay=buffer.init(),
+    params=params, target_params=params, opt_state=optimizer.init(params),
+    lkey=k_learn, loss=jnp.asarray(0.0), gnorm=jnp.asarray(0.0),
+    sync_acc=jnp.asarray(0, jnp.int32),
+)
 
-# 4. tree rebuild only
-def tree_only(tree):
-    def body(t, _):
-        return sumtree.set_priorities(t, jnp.arange(E), jnp.ones(E)), None
-    tree, _ = jax.lax.scan(body, tree, None, N_ITERS)
-    return tree
 
-timed("sumtree set+rebuild", jax.jit(tree_only), replay.tree)
+@jax.jit
+def populate(carry):
+    actor, replay, params = carry.actor, carry.replay, carry.params
+    (actor, replay, params), _ = jax.lax.scan(
+        populate_step, (actor, replay, params), None, length=2)
+    return carry._replace(actor=actor, replay=replay)
 
-# 5. sample only
-def sample_only(replay, key):
-    def body(k, _):
-        k, k2 = jax.random.split(k)
-        b, i, w = buffer.sample(replay, k2)
-        return k, (b.reward.sum())
-    key, s = jax.lax.scan(body, key, None, N_ITERS)
-    return s
 
-replay2 = buffer.insert(replay, tr)
-timed("PER sample only", jax.jit(sample_only), replay2, jax.random.PRNGKey(0))
+carry0 = populate(carry0)
+jax.block_until_ready(carry0.replay.tree)
 
-# 6. train only
-train_step, opt = make_dqn_train_step(network, buffer, 0.95, True, 1e-3)
-opt_state = opt.init(params)
-def train_only(params, opt_state, replay, key):
-    def body(c, _):
-        params, opt_state, replay, key = c
-        key, k = jax.random.split(key)
-        res = train_step(params, params, opt_state, replay, k)
-        return (res.params, res.opt_state, res.replay_state, key), None
-    (params, _, _, _), _ = jax.lax.scan(
-        body, (params, opt_state, replay, key), None, N_ITERS)
-    return params
+UPDATES = cfg.updates_per_iter
+STEPS = cfg.steps_per_iter
+print(f"E={E} steps_per_iter={STEPS} updates_per_iter={UPDATES} "
+      f"env_steps_per_iter={cfg.env_steps_per_iter}")
 
-timed("train step only", jax.jit(train_only), params, opt_state, replay2,
-      jax.random.PRNGKey(0))
 
-# 7. rng split cost
-def rng_only(key):
-    def body(k, _):
-        k, *ks = jax.random.split(k, 5)
-        sub = jax.random.split(ks[0], E)
-        return k, sub.sum()
-    key, s = jax.lax.scan(body, key, None, N_ITERS)
-    return s
+def _sync(out):
+    # On the tunneled axon backend block_until_ready can return before the
+    # computation finishes (measured: a "blocked" call returned in 3 ms while
+    # its compute ran another 1.2 s). A device->host read is the only
+    # reliable barrier, so every timing brackets with a scalar read.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
 
-timed("rng splits only", jax.jit(rng_only), jax.random.PRNGKey(0))
+
+# Per-call overhead calibration: a same-signature round-trip with trivial
+# compute. Subtracting it from every timing attributes only on-device work.
+@jax.jit
+def _noop(carry):
+    return carry._replace(loss=carry.loss + 1.0)
+
+
+def _measure_overhead(carry, reps=5):
+    _sync(_noop(carry))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(_noop(carry))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+OVERHEAD = _measure_overhead(carry0)
+print(f"per-call overhead (noop carry round-trip): {OVERHEAD*1e3:.2f} ms")
+
+
+def timed(name, fn, carry, per_iter_divisor=1.0, reps=5):
+    _sync(fn(carry))           # compile + drain
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(carry)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    per = max(best - OVERHEAD, 0.0) / N_ITERS
+    print(f"{name:24s} {best*1e3:9.2f} ms total  {per*1e6:9.1f} us/iter"
+          f"  {per/per_iter_divisor*1e6:9.2f} us/unit")
+    return per
+
+
+# --- full iteration (collect + train + sync check) --------------------------
+@jax.jit
+def full(carry):
+    carry, _ = jax.lax.scan(iteration, carry, None, length=N_ITERS)
+    return carry
+
+t_full = timed("full iteration", full, carry0)
+
+# --- collect-only: the real collect phase, replay carried, no updates -------
+iteration_c, _, _ = build_loop(
+    env, network, buffer, cfg.replace(train_freq=1 << 30),  # updates_per_iter→1 still
+    LinearDecaySchedule(1.0, 0.01, 100_000), gamma=env.discount,
+)
+
+from deepqlearning_tpu.learner.actor import make_collect_step  # noqa: E402
+
+collect_step = make_collect_step(
+    env, network, cfg.max_episode_length,
+    LinearDecaySchedule(1.0, 0.01, 100_000),
+    lambda r, tr, e: buffer.insert(r, tr),
+)
+
+
+@jax.jit
+def collect_only(carry):
+    (actor, replay, params), _ = jax.lax.scan(
+        collect_step, (carry.actor, carry.replay, carry.params), None,
+        length=N_ITERS * STEPS)
+    return carry._replace(actor=actor, replay=replay)
+
+t_collect = timed("collect+insert only", collect_only, carry0,
+                  per_iter_divisor=STEPS)
+
+# --- train-only: the real 8-updates train phase, full carry ------------------
+train_step, _ = (lambda: (None, None))()  # placeholder to keep names local
+
+
+def make_train_only():
+    from deepqlearning_tpu.learner.train_step import make_dqn_train_step
+    ts, _opt = make_dqn_train_step(
+        network, buffer, env.discount, cfg.double_q, cfg.learning_rate)
+
+    @jax.jit
+    def train_only(carry):
+        def body(c, _):
+            params, target_params, opt_state, replay, lkey = c
+            lkey, k = jax.random.split(lkey)
+            res = ts(params, target_params, opt_state, replay, k)
+            return (res.params, target_params, res.opt_state,
+                    res.replay_state, lkey), None
+        init = (carry.params, carry.target_params, carry.opt_state,
+                carry.replay, carry.lkey)
+        (p, tp, o, r, k), _ = jax.lax.scan(
+            body, init, None, length=N_ITERS * UPDATES)
+        return carry._replace(params=p, opt_state=o, replay=r, lkey=k)
+    return train_only
+
+t_train = timed("train updates only", make_train_only(), carry0,
+                per_iter_divisor=UPDATES)
+
+def make_train_grouped():
+    from deepqlearning_tpu.learner.train_step import make_grouped_dqn_train_step
+    ts, _opt = make_grouped_dqn_train_step(
+        network, buffer, env.discount, cfg.double_q, cfg.learning_rate,
+        UPDATES)
+
+    @jax.jit
+    def train_grouped(carry):
+        def body(c, _):
+            params, target_params, opt_state, replay, lkey = c
+            lkey, k = jax.random.split(lkey)
+            res = ts(params, target_params, opt_state, replay, k)
+            return (res.params, target_params, res.opt_state,
+                    res.replay_state, lkey), None
+        init = (carry.params, carry.target_params, carry.opt_state,
+                carry.replay, carry.lkey)
+        (p, tp, o, r, k), _ = jax.lax.scan(
+            body, init, None, length=N_ITERS)
+        return carry._replace(params=p, opt_state=o, replay=r, lkey=k)
+    return train_grouped
+
+
+t_grouped = timed("train grouped (1 call)", make_train_grouped(), carry0)
+
+print(f"\nbreakdown per iteration ({cfg.env_steps_per_iter} env steps):")
+print(f"  collect : {t_collect*1e6:8.1f} us ({t_collect/t_full*100:5.1f}%)")
+print(f"  train   : {t_train*1e6:8.1f} us ({t_train/t_full*100:5.1f}%) [sequential]")
+print(f"  grouped : {t_grouped*1e6:8.1f} us ({t_grouped/t_full*100:5.1f}%) [as in loop]")
+print(f"  other   : {(t_full-t_collect-t_train)*1e6:8.1f} us")
+print(f"  implied steps/s: {cfg.env_steps_per_iter/t_full/1e6:.2f}M")

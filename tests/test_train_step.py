@@ -164,3 +164,67 @@ def test_drqn_train_step_runs_and_learns():
         losses.append(float(res.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_grouped_step_single_update_matches_sequential():
+    # n_updates=1 must match make_dqn_train_step (up to float reassociation
+    # inside lax.scan's fusion)
+    from deepqlearning_tpu.learner.train_step import make_grouped_dqn_train_step
+
+    buf = PrioritizedReplayBuffer((3,), 64, 16, alpha=0.6, eps=1e-3)
+    st = _fill(buf, 64, jax.random.PRNGKey(0))
+    net = Chain(Dense(3, 8, jnp.tanh), Dense(8, 2))
+    params = net.init(jax.random.PRNGKey(1))
+    step_a, opt = make_dqn_train_step(net, buf, 0.9, True, 1e-3)
+    step_b, _ = make_grouped_dqn_train_step(net, buf, 0.9, True, 1e-3, 1)
+    opt_state = opt.init(params)
+    k = jax.random.PRNGKey(2)
+    ra = step_a(params, params, opt_state, st, k)
+    rb = step_b(params, params, opt_state, st, k)
+    for la, lb in zip(jax.tree_util.tree_leaves(ra.params),
+                      jax.tree_util.tree_leaves(rb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ra.replay_state.tree[0]),
+                               np.asarray(rb.replay_state.tree[0]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(ra.loss), float(rb.loss), rtol=1e-6)
+
+
+def test_grouped_step_applies_all_subupdates_and_priorities():
+    from deepqlearning_tpu.learner.train_step import make_grouped_dqn_train_step
+
+    U, B = 4, 16
+    buf = PrioritizedReplayBuffer((3,), 64, B, alpha=0.6, eps=1e-3)
+    st = _fill(buf, 64, jax.random.PRNGKey(0))
+    net = Chain(Dense(3, 8, jnp.tanh), Dense(8, 2))
+    params = net.init(jax.random.PRNGKey(1))
+    grouped, opt = make_grouped_dqn_train_step(net, buf, 0.9, True, 1e-2, U)
+    single, _ = make_dqn_train_step(net, buf, 0.9, True, 1e-2)
+    opt_state = opt.init(params)
+    k = jax.random.PRNGKey(2)
+
+    rg = grouped(params, params, opt_state, st, k)
+    r1 = single(params, params, opt_state, st, k)
+
+    # U sequential Adam updates move params strictly further than one
+    d_g = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+        jax.tree_util.tree_leaves(rg.params), jax.tree_util.tree_leaves(params)))
+    d_1 = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+        jax.tree_util.tree_leaves(r1.params), jax.tree_util.tree_leaves(params)))
+    assert d_g > d_1
+
+    # every sampled index got its priority rewritten: the tree changed and
+    # stays internally consistent
+    after = rg.replay_state.tree
+    assert not np.allclose(np.asarray(st.tree[0]), np.asarray(after[0]))
+    for lo, hi in zip(after[:-1], after[1:]):
+        bf = lo.shape[0] // hi.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(lo).reshape(-1, bf).sum(1), np.asarray(hi), rtol=1e-4)
+
+    # de-interleave: each sub-batch spans the full priority mass (strata are
+    # ordered, so each sub-batch's draws must not be one contiguous block)
+    idx, _ = sumtree.sample(st.tree, k, U * B)
+    sub0 = np.asarray(idx).reshape(B, U)[:, 0]
+    assert sub0.max() - sub0.min() > B  # spread across the ring, not a block
