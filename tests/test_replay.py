@@ -257,3 +257,42 @@ def test_episode_ring_wraparound_remaps_stale_records():
     assert (r[valid] < 11).all() and (o[valid] < 97).all()
     # all sampled records must be fresh: start within the last R steps
     # (indirectly: every masked reward belongs to the most recent writes)
+
+
+def test_sumtree_large_tree_two_stage_descent_matches_cdf_inverse():
+    """256K-leaf tree: the leaf level descends with P=4096 parents, which
+    takes the two-stage striped one-hot path in ``_fetch_children``
+    (``ops/sumtree.py``) — the exact shape the headline bench runs. Verify
+    the tree descent against a flat CDF inversion (numpy searchsorted) on
+    the same uniforms."""
+    n = 1 << 18
+    rng = np.random.default_rng(0)
+    prios = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    prios[rng.choice(n, n // 2, replace=False)] = 0.0  # zero half the leaves
+    tree = sumtree.init_tree(n)
+    tree = sumtree.set_priorities_slice(tree, 0, jnp.asarray(prios))
+    _check_tree_consistency(tree)
+
+    B = 4096
+    key = jax.random.PRNGKey(42)
+    idx, p = sumtree.sample(tree, key, B)
+    idx = np.asarray(idx)
+
+    # zero-priority leaves must never be drawn
+    assert (prios[idx] > 0).all()
+    np.testing.assert_allclose(np.asarray(p), prios[idx], rtol=1e-6)
+
+    # reproduce the descent's stratified mass draws and invert the flat CDF
+    u = np.asarray(jax.random.uniform(key, (B,)))
+    u = (np.arange(B, dtype=np.float32) + u) / B
+    mass = u.astype(np.float64) * float(sumtree.total(tree))
+    cdf = np.cumsum(prios.astype(np.float64))
+    expected = np.searchsorted(cdf, mass, side="right")
+    # float32 tree accumulation vs float64 flat cumsum can disagree at
+    # stratum boundaries; demand near-total agreement and tiny CDF slack
+    # (in units of total mass) on the rest
+    exact = idx == expected
+    assert exact.mean() > 0.99
+    if not exact.all():
+        diff = np.abs(cdf[idx] - cdf[expected]) / cdf[-1]
+        assert diff[~exact].max() < 1e-4
