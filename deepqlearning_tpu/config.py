@@ -62,6 +62,11 @@ class DQNConfig:
     # deviation documented in docs/DEVIATIONS.md). No effect when
     # updates_per_iter == 1.
     grouped_updates: bool = True
+    # Run the whole grouped train phase as ONE Pallas kernel when the network
+    # is a supported feed-forward Dense stack (ops/pallas/fused_update.py).
+    # None = auto (on for TPU backends when supported), True = force (uses
+    # the interpreter off-TPU), False = always use the XLA grouped path.
+    fused_updates: Optional[bool] = None
     # Name of the data-parallel mesh axis when running under shard_map/pjit.
     data_axis: str = "data"
 

@@ -19,6 +19,7 @@ from .actor import ActorState, make_collect_step
 from .train_step import (
     make_dqn_train_step,
     make_drqn_train_step,
+    make_fused_grouped_train_step,
     make_grouped_dqn_train_step,
     sync_target,
 )
@@ -49,12 +50,27 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
     """
     grouped = (not cfg.recurrence and cfg.grouped_updates
                and cfg.updates_per_iter > 1)
+    fused = False
+    if grouped and axis_name is None and cfg.fused_updates is not False:
+        from ..ops.pallas.fused_update import plan_for
+
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        fused = plan_for(network) is not None and (
+            on_tpu or cfg.fused_updates is True
+        )
     if cfg.recurrence:
         train_step, optimizer = make_drqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
             axis_name=axis_name,
         )
         insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
+    elif fused:
+        train_step, optimizer = make_fused_grouped_train_step(
+            network, buffer, gamma, cfg.double_q, cfg.learning_rate,
+            cfg.updates_per_iter,
+            interpret=jax.default_backend() in ("cpu", "gpu"),
+        )
+        insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
     elif grouped:
         train_step, optimizer = make_grouped_dqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,

@@ -238,6 +238,77 @@ def make_grouped_dqn_train_step(network, buffer, gamma: float, double_q: bool,
     return step, optimizer
 
 
+class FusedAdamState(NamedTuple):
+    """Adam state for the fully-fused grouped step (``ops/pallas/fused_update``).
+
+    Same math as ``optax.adam`` — moments are kept as params-shaped pytrees
+    so checkpoint/resume round-trips transparently."""
+
+    m: any
+    v: any
+    count: jnp.ndarray
+
+
+def make_fused_grouped_train_step(network, buffer, gamma: float,
+                                  double_q: bool, learning_rate: float,
+                                  n_updates: int, interpret: bool = False):
+    """Grouped train step with the WHOLE train phase in one Pallas launch.
+
+    Semantically the ``make_grouped_dqn_train_step`` path (one shared
+    stratified sample + ``n_updates`` sequential Adam sub-updates + one merged
+    priority update), but forward/TD-loss/backward/Adam for all sub-updates
+    run inside a single kernel with parameters resident in VMEM
+    (``ops/pallas/fused_update.py``) — removing the ~20-kernel launch chain
+    each sub-update pays on the XLA path. Only supported for feed-forward
+    (dueling) Dense stacks; callers should check ``fused_update.plan_for``
+    first and fall back.
+    """
+    from ..ops.pallas.fused_update import fused_group_update, plan_for
+
+    plan = plan_for(network)
+    if plan is None:
+        raise ValueError("network not supported by the fused update kernel")
+    B, U = buffer.batch_size, int(n_updates)
+
+    class _Opt:
+        @staticmethod
+        def init(params):
+            z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+            return FusedAdamState(m=z(), v=z(), count=jnp.asarray(0, jnp.int32))
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch, idx, weights = buffer.sample_n(replay_state, key, U)
+        q_sp_tgt_all, _ = network.apply(target_params, batch.next_obs)
+
+        # [U*B] -> [U, B] stride-U de-interleave (see grouped step above)
+        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        obs_u = de(batch.obs).reshape(U, B, -1)
+        w_u = de(weights)
+        q_sp_tgt_u = de(q_sp_tgt_all)
+        if double_q:
+            nobs_u = de(batch.next_obs).reshape(U, B, -1)
+            obs_cat = jnp.concatenate([obs_u, nobs_u], axis=1)
+        else:
+            obs_cat = obs_u
+
+        p, m, v, count, tds, prios, loss, gnorm = fused_group_update(
+            network, plan, params, opt_state.m, opt_state.v, opt_state.count,
+            obs_cat, de(batch.action), de(batch.reward), de(batch.done),
+            w_u, q_sp_tgt_u,
+            gamma=gamma, double_q=double_q, lr=learning_rate,
+            alpha=buffer.alpha, eps=buffer.eps, batch_size=B,
+            interpret=interpret,
+        )
+        re = lambda x: jnp.swapaxes(x, 0, 1).reshape((U * B,) + x.shape[2:])
+        replay_state = buffer.update_priorities(
+            replay_state, idx, re(tds), priorities=re(prios)
+        )
+        return TrainResult(p, FusedAdamState(m, v, count), replay_state,
+                           loss, gnorm)
+
+    return step, _Opt
+
+
 def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
                          learning_rate: float, axis_name: Optional[str] = None):
     """Recurrent path: ``lax.scan`` over the trace axis replaces the

@@ -1,0 +1,486 @@
+"""Whole-train-phase fused Pallas kernel: U sequential DQN updates in ONE launch.
+
+Profiling the headline loop (32768 envs, 8 grouped updates/iteration on a
+v5e) splits one 717 µs iteration into 170 µs collect + 485 µs train — and the
+train phase is ~61 µs per sub-update, almost all of it *launch latency*: a
+batch-512 pass through a 2->64->64->|A| dueling MLP is ~20 XLA kernels of a
+few µs each, serially dependent. The math itself (16 small matmuls) is ~5 µs
+of MXU time.
+
+This kernel removes the launch overhead entirely: a grid of U steps runs the
+U sub-updates of the grouped train step (``learner/train_step.py``) back to
+back inside one ``pallas_call``. Parameters and Adam moments live in VMEM
+scratch across grid steps (the whole network is a few hundred KB padded);
+each grid step streams in its sub-batch block, runs forward (val+adv dueling
+heads), the TD loss of the reference's ``batch_train!``
+(``src/solver.jl:209-233``), a hand-derived backward pass, and the Adam
+update — then the final step writes the updated parameters back to HBM.
+
+Semantics are those of the grouped jnp path (same data/update ratio, same
+per-sub-update Adam chain — equivalence tested in
+``tests/test_fused_update.py``); supported network shapes are dueling or
+plain chains of Dense layers with tanh/relu/identity activations (the
+reference's entire feed-forward model family, ``test/runtests.jl:47``).
+Anything else falls back to the jnp grouped path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.chain import Chain, Dense, Flatten
+from ...models.dueling import DuelingNetwork
+
+_ACTS = {"id": 0, "tanh": 1, "relu": 2}
+
+
+@dataclasses.dataclass(frozen=True)
+class _LayerPlan:
+    din: int
+    dout: int
+    din_p: int
+    dout_p: int
+    act: str  # 'id' | 'tanh' | 'relu'
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedPlan:
+    dueling: bool
+    in_dim: int
+    in_dim_p: int
+    num_actions: int
+    num_actions_p: int
+    val: Tuple[_LayerPlan, ...]  # () when not dueling
+    adv: Tuple[_LayerPlan, ...]  # the main chain when not dueling
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _act_name(fn) -> Optional[str]:
+    if fn is None:
+        return "id"
+    if fn is jnp.tanh or fn is jax.numpy.tanh:
+        return "tanh"
+    if fn is jax.nn.relu:
+        return "relu"
+    return None
+
+
+def _chain_layers(chain: Chain) -> Optional[Tuple[_LayerPlan, ...]]:
+    """All-Dense (after leading Flattens) chain -> layer plans, else None."""
+    layers = list(chain.layers)
+    while layers and isinstance(layers[0], Flatten):
+        layers = layers[1:]
+    if not layers or not all(isinstance(l, Dense) for l in layers):
+        return None
+    plans = []
+    for l in layers:
+        act = _act_name(l.activation)
+        if act is None or not l.use_bias:
+            return None
+        plans.append(_LayerPlan(
+            din=l.in_dim, dout=l.out_dim,
+            din_p=_round_up(l.in_dim, 128), dout_p=_round_up(l.out_dim, 128),
+            act=act,
+        ))
+    return tuple(plans)
+
+
+def plan_for(network) -> Optional[FusedPlan]:
+    """Static inspection: return a kernel plan if the network is a (dueling)
+    stack of Dense layers the kernel supports, else None."""
+    if isinstance(network, DuelingNetwork):
+        if network.base.recurrent or any(
+            not isinstance(l, Flatten) for l in network.base.layers
+        ):
+            return None
+        val = _chain_layers(network.val)
+        adv = _chain_layers(network.adv)
+        if val is None or adv is None or not val or not adv:
+            return None
+        if val[0].din != adv[0].din:
+            return None
+        # VMEM budget: params+moments (x3 buffers each) must stay well under
+        # the ~16 MB VMEM; bail out to the jnp path for big nets
+        vbytes = sum(
+            (l.din_p * l.dout_p + l.dout_p) * 4 for l in val + adv
+        ) * 9
+        if vbytes > 6 * 1024 * 1024:
+            return None
+        return FusedPlan(
+            dueling=True,
+            in_dim=adv[0].din, in_dim_p=adv[0].din_p,
+            num_actions=adv[-1].dout, num_actions_p=adv[-1].dout_p,
+            val=val, adv=adv,
+        )
+    if isinstance(network, Chain):
+        if network.recurrent:
+            return None
+        adv = _chain_layers(network)
+        if adv is None or not adv:
+            return None
+        vbytes = sum((l.din_p * l.dout_p + l.dout_p) * 4 for l in adv) * 9
+        if vbytes > 6 * 1024 * 1024:
+            return None
+        return FusedPlan(
+            dueling=False,
+            in_dim=adv[0].din, in_dim_p=adv[0].din_p,
+            num_actions=adv[-1].dout, num_actions_p=adv[-1].dout_p,
+            val=(), adv=adv,
+        )
+    return None
+
+
+# ---------------------------------------------------------------- packing
+
+def _dense_params(network, params, plan: FusedPlan):
+    """Yield the (w, b) leaves of the supported Dense layers in plan order
+    (val chain first for dueling). Skips zero-param Flatten entries."""
+    if plan.dueling:
+        chains = [(network.val, params["val"]), (network.adv, params["adv"])]
+    else:
+        chains = [(network, params)]
+    out = []
+    for chain, ps in chains:
+        for layer, p in zip(chain.layers, ps):
+            if isinstance(layer, Dense):
+                out.append((p["w"], p["b"]))
+    return out
+
+
+def _pack(network, tree, plan: FusedPlan):
+    """Params-like pytree -> list of padded [din_p, dout_p] / [1, dout_p]."""
+    packed = []
+    for (w, b), lp in zip(_dense_params(network, tree, plan),
+                          plan.val + plan.adv):
+        packed.append(jnp.pad(
+            w.astype(jnp.float32),
+            ((0, lp.din_p - lp.din), (0, lp.dout_p - lp.dout)),
+        ))
+        packed.append(jnp.pad(
+            b.astype(jnp.float32), (0, lp.dout_p - lp.dout)
+        ).reshape(1, lp.dout_p))
+    return packed
+
+
+def _unpack_into(network, tree, plan: FusedPlan, packed):
+    """Write packed padded tensors back into a pytree shaped like ``tree``."""
+    flat = list(packed)
+
+    def take(lp):
+        w = flat.pop(0)[: lp.din, : lp.dout]
+        b = flat.pop(0)[0, : lp.dout]
+        return {"w": w, "b": b}
+
+    def rebuild_chain(chain, ps, lps):
+        lps = list(lps)
+        out = []
+        for layer, p in zip(chain.layers, ps):
+            out.append(take(lps.pop(0)) if isinstance(layer, Dense) else p)
+        return tuple(out)
+
+    if plan.dueling:
+        return {
+            "base": tree["base"],
+            "val": rebuild_chain(network.val, tree["val"], plan.val),
+            "adv": rebuild_chain(network.adv, tree["adv"], plan.adv),
+        }
+    return rebuild_chain(network, tree, plan.adv)
+
+
+# ---------------------------------------------------------------- kernel
+
+def _apply_act(h, act: str):
+    if act == "tanh":
+        return jnp.tanh(h)
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    return h
+
+
+def _act_grad(h, act: str):
+    """d act / d z expressed through the *post*-activation value h."""
+    if act == "tanh":
+        return 1.0 - h * h
+    if act == "relu":
+        return (h > 0.0).astype(jnp.float32)
+    return jnp.ones_like(h)
+
+
+def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
+                 double_q: bool, lr: float, alpha: float, eps: float,
+                 b1: float, b2: float, adam_eps: float, inv_b: float):
+    layers = plan.val + plan.adv
+    n_val = len(plan.val)
+    nt = 2 * len(layers)  # padded tensors per set (w, b per layer)
+    A, Ap = plan.num_actions, plan.num_actions_p
+    ln_b1, ln_b2 = math.log(b1), math.log(b2)
+
+    def kernel(*refs):
+        # refs: count, obs, action, reward, done, weights, q_sp_tgt,
+        #       p_in[nt], m_in[nt], v_in[nt],
+        #       p_out[nt], m_out[nt], v_out[nt], tds, prios, loss, gnorm,
+        #       p_s[nt], m_s[nt], v_s[nt]
+        it = iter(refs)
+        count_ref = next(it)
+        obs_ref, act_ref, rew_ref, done_ref, w_ref, qsp_ref = (
+            next(it), next(it), next(it), next(it), next(it), next(it)
+        )
+        p_in = [next(it) for _ in range(nt)]
+        m_in = [next(it) for _ in range(nt)]
+        v_in = [next(it) for _ in range(nt)]
+        p_out = [next(it) for _ in range(nt)]
+        m_out = [next(it) for _ in range(nt)]
+        v_out = [next(it) for _ in range(nt)]
+        td_ref, prio_ref, loss_ref, gnorm_ref = (
+            next(it), next(it), next(it), next(it)
+        )
+        p_s = [next(it) for _ in range(nt)]
+        m_s = [next(it) for _ in range(nt)]
+        v_s = [next(it) for _ in range(nt)]
+
+        u = pl.program_id(0)
+
+        @pl.when(u == 0)
+        def _():
+            for s, i in zip(p_s + m_s + v_s, p_in + m_in + v_in):
+                s[:] = i[:]
+
+        hi = jax.lax.Precision.HIGHEST
+        x = obs_ref[:]  # [B2, D0p]
+
+        def fwd(chain_layers, off):
+            """Forward through a dense stack; returns post-act values
+            (index 0 = input x)."""
+            hs = [x]
+            for i, lp in enumerate(chain_layers):
+                w = p_s[2 * (off + i)][:]
+                b = p_s[2 * (off + i) + 1][:]
+                z = jnp.dot(hs[-1], w, preferred_element_type=jnp.float32) + b
+                hs.append(_apply_act(z, lp.act))
+            return hs
+
+        adv_hs = fwd(plan.adv, n_val)
+        a_out = adv_hs[-1]  # [B2, Ap]
+        cols = jax.lax.broadcasted_iota(jnp.int32, a_out.shape, 1)
+        amask = cols < A
+        if plan.dueling:
+            val_hs = fwd(plan.val, 0)
+            v_col = val_hs[-1][:, 0:1]  # [B2, 1]
+            a_real = jnp.where(amask, a_out, 0.0)
+            mean_a = jnp.sum(a_real, axis=1, keepdims=True) * (1.0 / A)
+            q_all = v_col + a_out - mean_a
+        else:
+            q_all = a_out
+
+        q_s = q_all[:Bp]
+        cols_b = cols[:Bp]
+        q_sp_tgt = qsp_ref[:]  # [Bp, Ap], padded cols = -1e30
+        if double_q:
+            q_sp_onl = jnp.where(amask[Bp:], q_all[Bp:], -1e30)
+            best = jnp.argmax(q_sp_onl, axis=-1, keepdims=True)  # [Bp, 1]
+            q_sp_max = jnp.sum(
+                jnp.where(cols_b == best, q_sp_tgt, 0.0), axis=-1
+            )
+        else:
+            q_sp_max = jnp.max(q_sp_tgt, axis=-1)
+
+        r, d, w_is = rew_ref[0, :], done_ref[0, :], w_ref[0, :]
+        q_target = r + (1.0 - d) * gamma * q_sp_max
+        a_idx = act_ref[0, :]
+        sel = cols_b == a_idx[:, None]
+        q_sa = jnp.sum(jnp.where(sel, q_s, 0.0), axis=-1)
+        td = q_sa - q_target
+        xw = w_is * td
+        absx = jnp.abs(xw)
+        quad = jnp.minimum(absx, 1.0)
+        loss_ref[0, 0] = jnp.sum(0.5 * quad * quad + (absx - quad)) * inv_b
+        td_ref[0, :] = td
+        prio_ref[0, :] = (jnp.abs(td) + eps) ** alpha
+
+        # dL/dq_s — only the s rows backpropagate (targets are stop-grad,
+        # src/solver.jl:209-217)
+        g_sa = w_is * jnp.clip(xw, -1.0, 1.0) * inv_b
+        g_q = jnp.where(sel, g_sa[:, None], 0.0)  # [Bp, Ap]
+
+        def bwd(chain_layers, off, hs, g_out):
+            """Backprop one dense stack (s rows only). Returns grads in
+            (w, b) interleaved order."""
+            grads = [None] * (2 * len(chain_layers))
+            dh = g_out
+            for i in reversed(range(len(chain_layers))):
+                lp = chain_layers[i]
+                h_post = hs[i + 1][:Bp]
+                dz = dh * _act_grad(h_post, lp.act)
+                h_prev = hs[i][:Bp]
+                dw = jax.lax.dot_general(
+                    h_prev, dz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                db = jnp.sum(dz, axis=0, keepdims=True)
+                grads[2 * i] = dw
+                grads[2 * i + 1] = db
+                if i > 0:
+                    w = p_s[2 * (off + i)][:]
+                    dh = jax.lax.dot_general(
+                        dz, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            return grads
+
+        if plan.dueling:
+            sum_g = jnp.sum(g_q, axis=-1, keepdims=True)  # [Bp, 1]
+            g_adv = jnp.where(amask[:Bp], g_q - sum_g * (1.0 / A), 0.0)
+            g_val = jnp.where(cols_b == 0, sum_g, 0.0)  # [Bp, Vp]
+            grads = bwd(plan.val, 0, val_hs, g_val) + bwd(
+                plan.adv, n_val, adv_hs, g_adv
+            )
+        else:
+            grads = bwd(plan.adv, 0, adv_hs, g_q)
+
+        gn = jnp.float32(0.0)
+        for g in grads:
+            gn = jnp.maximum(gn, jnp.max(jnp.abs(g)))
+        gnorm_ref[0, 0] = gn
+
+        # Adam (optax.adam semantics: mu-hat/nu-hat bias correction)
+        t = (count_ref[0, 0] + u + 1).astype(jnp.float32)
+        c1 = 1.0 / (1.0 - jnp.exp(t * ln_b1))
+        c2 = 1.0 / (1.0 - jnp.exp(t * ln_b2))
+        for k, g in enumerate(grads):
+            m = b1 * m_s[k][:] + (1.0 - b1) * g
+            v = b2 * v_s[k][:] + (1.0 - b2) * (g * g)
+            m_s[k][:] = m
+            v_s[k][:] = v
+            p_s[k][:] = p_s[k][:] - lr * (m * c1) / (
+                jnp.sqrt(v * c2) + adam_eps
+            )
+
+        @pl.when(u == U - 1)
+        def _():
+            for o, s in zip(p_out + m_out + v_out, p_s + m_s + v_s):
+                o[:] = s[:]
+
+    return kernel, nt
+
+
+def fused_group_update(network, plan: FusedPlan, params, m, v, count,
+                       obs_cat, action, reward, done, weights, q_sp_tgt,
+                       *, gamma: float, double_q: bool, lr: float,
+                       alpha: float, eps: float, b1: float = 0.9,
+                       b2: float = 0.999, adam_eps: float = 1e-8,
+                       batch_size: int, interpret: bool = False):
+    """Run U fused sub-updates.
+
+    Inputs (U = number of sub-updates, B = real sub-batch size):
+      obs_cat  [U, B2, in_dim] f32 — rows 0:B are s, B:2B are s' (double-Q);
+               B2 = 2B if double_q else B
+      action   [U, B] int32;  reward/done/weights [U, B] f32
+      q_sp_tgt [U, B, A] f32 — target-net Q(s') (computed once outside)
+      params/m/v — network pytrees; count — int32 Adam step counter
+
+    Returns (params, m, v, count, tds [U, B], prios [U, B], loss, gnorm) —
+    loss/gnorm are the final sub-update's values (what the host logs).
+    """
+    U, B = action.shape
+    Bp = _round_up(B, 128)
+    B2 = obs_cat.shape[1]
+    B2p = 2 * Bp if double_q else Bp
+    D0, D0p = plan.in_dim, plan.in_dim_p
+    A, Ap = plan.num_actions, plan.num_actions_p
+    assert B2 == (2 * B if double_q else B)
+
+    # pad batch data: rows beyond B get weight 0 (no loss/grad) and done 1
+    if double_q:
+        s_pad = jnp.pad(obs_cat[:, :B], ((0, 0), (0, Bp - B), (0, D0p - D0)))
+        sp_pad = jnp.pad(obs_cat[:, B:], ((0, 0), (0, Bp - B), (0, D0p - D0)))
+        obs_p = jnp.concatenate([s_pad, sp_pad], axis=1)  # [U, 2Bp, D0p]
+    else:
+        obs_p = jnp.pad(obs_cat, ((0, 0), (0, Bp - B), (0, D0p - D0)))
+    # row vectors get a unit middle axis: a [U, 1, Bp] array lets the
+    # per-step block be (1, Bp), satisfying the (8, 128)-divisible-or-full
+    # constraint on the trailing two block dims
+    pad1 = lambda x, fill=0.0: jnp.pad(
+        x, ((0, 0), (0, Bp - B)), constant_values=fill
+    ).reshape(U, 1, Bp)
+    act_p = pad1(action, 0).astype(jnp.int32)
+    rew_p = pad1(reward)
+    done_p = pad1(done, 1.0)
+    w_p = pad1(weights, 0.0)
+    qsp_p = jnp.pad(
+        q_sp_tgt, ((0, 0), (0, Bp - B), (0, Ap - A)),
+        constant_values=-1e30,
+    )
+    # padded ROWS of q_sp_tgt must not win the plain max either
+    qsp_p = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, qsp_p.shape, 1) < B),
+        qsp_p, -1e30,
+    )
+
+    p_list = _pack(network, params, plan)
+    m_list = _pack(network, m, plan)
+    v_list = _pack(network, v, plan)
+    count2d = count.reshape(1, 1).astype(jnp.int32)
+
+    kernel, nt = _make_kernel(
+        plan, U, Bp, gamma, double_q, lr, alpha, eps, b1, b2, adam_eps,
+        1.0 / B,
+    )
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda u: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_u2 = lambda n: pl.BlockSpec(
+        (None, 1, n), lambda u: (u, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_u3 = lambda r, c: pl.BlockSpec(
+        (None, r, c), lambda u: (u, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda u: (0, 0), memory_space=pltpu.SMEM)
+
+    tensor_specs = [full(t.shape) for t in p_list]
+    in_specs = (
+        [smem11, per_u3(B2p, D0p), per_u2(Bp), per_u2(Bp), per_u2(Bp),
+         per_u2(Bp), per_u3(Bp, Ap)]
+        + tensor_specs * 3
+    )
+    out_specs = (
+        tensor_specs * 3
+        + [per_u2(Bp), per_u2(Bp), smem11, smem11]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in p_list] * 3
+        + [jax.ShapeDtypeStruct((U, 1, Bp), jnp.float32),
+           jax.ShapeDtypeStruct((U, 1, Bp), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    )
+    scratch = [pltpu.VMEM(t.shape, jnp.float32) for t in p_list] * 3
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(U,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(count2d, obs_p, act_p, rew_p, done_p, w_p, qsp_p,
+      *p_list, *m_list, *v_list)
+
+    p_new = _unpack_into(network, params, plan, outs[:nt])
+    m_new = _unpack_into(network, m, plan, outs[nt: 2 * nt])
+    v_new = _unpack_into(network, v, plan, outs[2 * nt: 3 * nt])
+    tds = outs[3 * nt][:, 0, :B]
+    prios = outs[3 * nt + 1][:, 0, :B]
+    loss = outs[3 * nt + 2][0, 0]
+    gnorm = outs[3 * nt + 3][0, 0]
+    return p_new, m_new, v_new, count + U, tds, prios, loss, gnorm
