@@ -66,6 +66,9 @@ class DQNConfig:
     # is a supported feed-forward Dense stack (ops/pallas/fused_update.py).
     # None = auto (on for TPU backends when supported), True = force (uses
     # the interpreter off-TPU), False = always use the XLA grouped path.
+    # Even when True, the kernel cannot run under a multi-chip axis_name or
+    # for unsupported networks (recurrent / non-Dense / num_actions > 128) —
+    # those fall back to the XLA grouped path with a warning.
     fused_updates: Optional[bool] = None
     # Name of the data-parallel mesh axis when running under shard_map/pjit.
     data_axis: str = "data"

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..replay.transition import TransitionBatch
+from ..replay.transition import DQExperience, batch_from_experience
 
 
 class HostEnv:
@@ -149,14 +149,11 @@ def solve_host(solver, env: HostEnv):
     )
 
     def push(replay, o, a, r, op, done, ended):
-        tr = TransitionBatch(
-            obs=jnp.asarray(o)[None],
-            action=jnp.asarray([a], jnp.int32),
-            reward=jnp.asarray([r], jnp.float32),
-            next_obs=jnp.asarray(op)[None],
-            done=jnp.asarray([float(done)], jnp.float32),
-        )
-        return insert_one(replay, tr, jnp.asarray([ended]))
+        # per-step DQExperience record, exactly the reference's insert unit
+        # (DQExperience + add_exp!, src/solver.jl:88-95)
+        exp = DQExperience(s=o, a=a, r=r, sp=op, done=done)
+        return insert_one(replay, batch_from_experience(exp),
+                          jnp.asarray([ended]))
 
     # --- populate with a random policy (src/solver.jl:180-189) ---
     env.reset()

@@ -21,6 +21,7 @@ from .train_step import (
     make_drqn_train_step,
     make_fused_grouped_train_step,
     make_grouped_dqn_train_step,
+    make_grouped_drqn_train_step,
     sync_target,
 )
 
@@ -36,8 +37,10 @@ class LoopCarry(NamedTuple):
     gnorm: jnp.ndarray
     # env steps accumulated since the last hard target sync; wrap-free
     # replacement for the t//freq crossing test (int32 t overflows in
-    # minutes at headline throughput)
-    sync_acc: jnp.ndarray = jnp.asarray(0, jnp.int32)
+    # minutes at headline throughput). Default is a plain int, NOT
+    # jnp.asarray — a jnp default would initialize the XLA backend at import
+    # time, which breaks jax.distributed.initialize in multi-process runs.
+    sync_acc: jnp.ndarray = 0
 
 
 def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
@@ -48,17 +51,32 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
     is the ε=1 collect step used to pre-fill replay
     (``initialize_replay_buffer``, ``src/solver.jl:180-189``).
     """
-    grouped = (not cfg.recurrence and cfg.grouped_updates
-               and cfg.updates_per_iter > 1)
+    grouped = cfg.grouped_updates and cfg.updates_per_iter > 1
     fused = False
-    if grouped and axis_name is None and cfg.fused_updates is not False:
+    if grouped and not cfg.recurrence and cfg.fused_updates is not False:
         from ..ops.pallas.fused_update import plan_for
 
+        supported = axis_name is None and plan_for(network) is not None
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        fused = plan_for(network) is not None and (
-            on_tpu or cfg.fused_updates is True
+        # Auto-enable on TPU when the network is supported; an explicit
+        # fused_updates=True forces the (interpreted) path on cpu/gpu too.
+        fused = supported and (on_tpu or cfg.fused_updates is True)
+        if cfg.fused_updates is True and not supported:
+            import warnings
+
+            reason = ("multi-chip axis_name set" if axis_name is not None
+                      else "network unsupported by the fused kernel")
+            warnings.warn(
+                f"fused_updates=True cannot be honored ({reason}); "
+                "falling back to the grouped XLA path", stacklevel=2,
+            )
+    if cfg.recurrence and grouped:
+        train_step, optimizer = make_grouped_drqn_train_step(
+            network, buffer, gamma, cfg.double_q, cfg.learning_rate,
+            cfg.updates_per_iter, axis_name=axis_name,
         )
-    if cfg.recurrence:
+        insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
+    elif cfg.recurrence:
         train_step, optimizer = make_drqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
             axis_name=axis_name,

@@ -241,8 +241,11 @@ def make_grouped_dqn_train_step(network, buffer, gamma: float, double_q: bool,
 class FusedAdamState(NamedTuple):
     """Adam state for the fully-fused grouped step (``ops/pallas/fused_update``).
 
-    Same math as ``optax.adam`` — moments are kept as params-shaped pytrees
-    so checkpoint/resume round-trips transparently."""
+    Same math as ``optax.adam``, but moments are params-shaped pytrees while
+    the non-fused path uses ``optax.flatten`` (raveled vectors). Checkpoints
+    still resume across the two layouts: ``checkpoint.load_train_state``
+    converts between them (the moment values are identical; tested in
+    tests/test_checkpoint.py)."""
 
     m: any
     v: any
@@ -309,17 +312,11 @@ def make_fused_grouped_train_step(network, buffer, gamma: float,
     return step, _Opt
 
 
-def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
-                         learning_rate: float, axis_name: Optional[str] = None):
-    """Recurrent path: ``lax.scan`` over the trace axis replaces the
-    reference's stateful per-timestep unroll (``src/solver.jl:258-281``).
-    No PER on this path, as in the reference (``src/solver.jl:285``).
-    """
-    optimizer = make_optimizer(learning_rate)
+def _make_drqn_update(network, buffer, gamma, double_q, optimizer, axis_name):
+    """Shared recurrent inner update: one EpisodeBatch → grads → Adam."""
     B, T = buffer.batch_size, buffer.trace_length
 
-    def step(params, target_params, opt_state, replay_state, key):
-        batch = buffer.sample(replay_state, key)
+    def update(params, target_params, opt_state, batch):
         # time-major [T, B, ...]
         tm = lambda x: jnp.swapaxes(x, 0, 1)
         obs_t, a_t = tm(batch.obs), tm(batch.action)
@@ -352,7 +349,68 @@ def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
         grad_norm = globalnorm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grad_norm
+
+    return update
+
+
+def make_drqn_train_step(network, buffer, gamma: float, double_q: bool,
+                         learning_rate: float, axis_name: Optional[str] = None):
+    """Recurrent path: ``lax.scan`` over the trace axis replaces the
+    reference's stateful per-timestep unroll (``src/solver.jl:258-281``).
+    No PER on this path, as in the reference (``src/solver.jl:285``).
+    """
+    optimizer = make_optimizer(learning_rate)
+    update = _make_drqn_update(network, buffer, gamma, double_q, optimizer,
+                               axis_name)
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch = buffer.sample(replay_state, key)
+        params, opt_state, loss, grad_norm = update(
+            params, target_params, opt_state, batch
+        )
         return TrainResult(params, opt_state, replay_state, loss, grad_norm)
+
+    return step, optimizer
+
+
+def make_grouped_drqn_train_step(network, buffer, gamma: float,
+                                 double_q: bool, learning_rate: float,
+                                 n_updates: int,
+                                 axis_name: Optional[str] = None):
+    """``n_updates`` sequential recurrent updates sharing ONE window gather.
+
+    The DRQN analog of ``make_grouped_dqn_train_step``: at high env counts
+    several updates run back-to-back per iteration, and the [U*B, T, obs]
+    window gather (the latency-bound part of episode sampling) is shared
+    across them; grads/Adam still advance sequentially per sub-update.
+    Uniform episode sampling means no priority bookkeeping, so — unlike the
+    PER grouped step — this grouping is exactly equivalent to U sequential
+    ``make_drqn_train_step`` calls on pre-drawn batches.
+    """
+    optimizer = make_optimizer(learning_rate)
+    B, U = buffer.batch_size, int(n_updates)
+    update = _make_drqn_update(network, buffer, gamma, double_q, optimizer,
+                               axis_name)
+
+    def step(params, target_params, opt_state, replay_state, key):
+        batch = buffer.sample_n(replay_state, key, U)
+        # [U*B, T, ...] → [U, B, T, ...] stride-U de-interleave
+        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        batches = jax.tree_util.tree_map(de, batch)
+
+        def body(carry, b):
+            params, opt_state = carry
+            params, opt_state, loss, grad_norm = update(
+                params, target_params, opt_state, b
+            )
+            return (params, opt_state), (loss, grad_norm)
+
+        (params, opt_state), (losses, gnorms) = jax.lax.scan(
+            body, (params, opt_state), batches
+        )
+        return TrainResult(params, opt_state, replay_state,
+                           losses[-1], gnorms[-1])
 
     return step, optimizer
 

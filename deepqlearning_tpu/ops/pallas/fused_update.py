@@ -108,6 +108,11 @@ def plan_for(network) -> Optional[FusedPlan]:
             return None
         if val[0].din != adv[0].din:
             return None
+        # the dueling backward builds g_val with the adv head's padded width
+        # and multiplies it against the val head's output — only sound when
+        # both heads pad to the same width (num_actions <= 128)
+        if _round_up(adv[-1].dout, 128) != _round_up(val[-1].dout, 128):
+            return None
         # VMEM budget: params+moments (x3 buffers each) must stay well under
         # the ~16 MB VMEM; bail out to the jnp path for big nets
         vbytes = sum(
@@ -225,14 +230,23 @@ def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
     ln_b1, ln_b2 = math.log(b1), math.log(b2)
 
     def kernel(*refs):
-        # refs: count, obs, action, reward, done, weights, q_sp_tgt,
-        #       p_in[nt], m_in[nt], v_in[nt],
+        # refs: count, obs_s, [obs_sp if double_q], action, reward, done,
+        #       weights, q_sp_tgt, p_in[nt], m_in[nt], v_in[nt],
         #       p_out[nt], m_out[nt], v_out[nt], tds, prios, loss, gnorm,
         #       p_s[nt], m_s[nt], v_s[nt]
+        #
+        # s and s' are SEPARATE [Bp, D0p] refs and the forward runs twice:
+        # round 1 concatenated them into one [2Bp, D0p] block and row-sliced
+        # the intermediates, and Mosaic SIGABRTed compiling those slices on
+        # real TPUs (`limits[i] <= dim(i) (64 vs. 1)`, BENCH_r01) while every
+        # slice/argmax construct passed in isolation — same FLOPs this way,
+        # and no value-level slicing of doubled intermediates anywhere.
         it = iter(refs)
         count_ref = next(it)
-        obs_ref, act_ref, rew_ref, done_ref, w_ref, qsp_ref = (
-            next(it), next(it), next(it), next(it), next(it), next(it)
+        obs_ref = next(it)
+        obs_sp_ref = next(it) if double_q else None
+        act_ref, rew_ref, done_ref, w_ref, qsp_ref = (
+            next(it), next(it), next(it), next(it), next(it)
         )
         p_in = [next(it) for _ in range(nt)]
         m_in = [next(it) for _ in range(nt)]
@@ -254,10 +268,7 @@ def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
             for s, i in zip(p_s + m_s + v_s, p_in + m_in + v_in):
                 s[:] = i[:]
 
-        hi = jax.lax.Precision.HIGHEST
-        x = obs_ref[:]  # [B2, D0p]
-
-        def fwd(chain_layers, off):
+        def fwd(x, chain_layers, off):
             """Forward through a dense stack; returns post-act values
             (index 0 = input x)."""
             hs = [x]
@@ -268,24 +279,30 @@ def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
                 hs.append(_apply_act(z, lp.act))
             return hs
 
-        adv_hs = fwd(plan.adv, n_val)
-        a_out = adv_hs[-1]  # [B2, Ap]
-        cols = jax.lax.broadcasted_iota(jnp.int32, a_out.shape, 1)
-        amask = cols < A
-        if plan.dueling:
-            val_hs = fwd(plan.val, 0)
-            v_col = val_hs[-1][:, 0:1]  # [B2, 1]
-            a_real = jnp.where(amask, a_out, 0.0)
-            mean_a = jnp.sum(a_real, axis=1, keepdims=True) * (1.0 / A)
-            q_all = v_col + a_out - mean_a
-        else:
-            q_all = a_out
+        def q_of(x, keep_hs):
+            """Dueling (or plain) Q values for one [Bp, D0p] input block."""
+            adv_hs = fwd(x, plan.adv, n_val)
+            a_out = adv_hs[-1]  # [Bp, Ap]
+            cols = jax.lax.broadcasted_iota(jnp.int32, a_out.shape, 1)
+            amask = cols < A
+            val_hs = None
+            if plan.dueling:
+                val_hs = fwd(x, plan.val, 0)
+                v_col = val_hs[-1][:, 0:1]  # [Bp, 1]
+                a_real = jnp.where(amask, a_out, 0.0)
+                mean_a = jnp.sum(a_real, axis=1, keepdims=True) * (1.0 / A)
+                q = v_col + a_out - mean_a
+            else:
+                q = a_out
+            if keep_hs:
+                return q, cols, amask, adv_hs, val_hs
+            return q, cols, amask, None, None
 
-        q_s = q_all[:Bp]
-        cols_b = cols[:Bp]
+        q_s, cols_b, amask, adv_hs, val_hs = q_of(obs_ref[:], keep_hs=True)
         q_sp_tgt = qsp_ref[:]  # [Bp, Ap], padded cols = -1e30
         if double_q:
-            q_sp_onl = jnp.where(amask[Bp:], q_all[Bp:], -1e30)
+            q_sp_onl, _, sp_mask, _, _ = q_of(obs_sp_ref[:], keep_hs=False)
+            q_sp_onl = jnp.where(sp_mask, q_sp_onl, -1e30)
             best = jnp.argmax(q_sp_onl, axis=-1, keepdims=True)  # [Bp, 1]
             q_sp_max = jnp.sum(
                 jnp.where(cols_b == best, q_sp_tgt, 0.0), axis=-1
@@ -306,21 +323,21 @@ def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
         td_ref[0, :] = td
         prio_ref[0, :] = (jnp.abs(td) + eps) ** alpha
 
-        # dL/dq_s — only the s rows backpropagate (targets are stop-grad,
+        # dL/dq_s — only the s pass backpropagates (targets are stop-grad,
         # src/solver.jl:209-217)
         g_sa = w_is * jnp.clip(xw, -1.0, 1.0) * inv_b
         g_q = jnp.where(sel, g_sa[:, None], 0.0)  # [Bp, Ap]
 
         def bwd(chain_layers, off, hs, g_out):
-            """Backprop one dense stack (s rows only). Returns grads in
-            (w, b) interleaved order."""
+            """Backprop one dense stack. Returns grads in (w, b) interleaved
+            order."""
             grads = [None] * (2 * len(chain_layers))
             dh = g_out
             for i in reversed(range(len(chain_layers))):
                 lp = chain_layers[i]
-                h_post = hs[i + 1][:Bp]
+                h_post = hs[i + 1]
                 dz = dh * _act_grad(h_post, lp.act)
-                h_prev = hs[i][:Bp]
+                h_prev = hs[i]
                 dw = jax.lax.dot_general(
                     h_prev, dz, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -338,7 +355,7 @@ def _make_kernel(plan: FusedPlan, U: int, Bp: int, gamma: float,
 
         if plan.dueling:
             sum_g = jnp.sum(g_q, axis=-1, keepdims=True)  # [Bp, 1]
-            g_adv = jnp.where(amask[:Bp], g_q - sum_g * (1.0 / A), 0.0)
+            g_adv = jnp.where(amask, g_q - sum_g * (1.0 / A), 0.0)
             g_val = jnp.where(cols_b == 0, sum_g, 0.0)  # [Bp, Vp]
             grads = bwd(plan.val, 0, val_hs, g_val) + bwd(
                 plan.adv, n_val, adv_hs, g_adv
@@ -391,20 +408,22 @@ def fused_group_update(network, plan: FusedPlan, params, m, v, count,
     loss/gnorm are the final sub-update's values (what the host logs).
     """
     U, B = action.shape
+    assert batch_size == B, (
+        f"batch_size={batch_size} disagrees with action.shape[1]={B}"
+    )
     Bp = _round_up(B, 128)
     B2 = obs_cat.shape[1]
-    B2p = 2 * Bp if double_q else Bp
     D0, D0p = plan.in_dim, plan.in_dim_p
     A, Ap = plan.num_actions, plan.num_actions_p
     assert B2 == (2 * B if double_q else B)
 
-    # pad batch data: rows beyond B get weight 0 (no loss/grad) and done 1
-    if double_q:
-        s_pad = jnp.pad(obs_cat[:, :B], ((0, 0), (0, Bp - B), (0, D0p - D0)))
-        sp_pad = jnp.pad(obs_cat[:, B:], ((0, 0), (0, Bp - B), (0, D0p - D0)))
-        obs_p = jnp.concatenate([s_pad, sp_pad], axis=1)  # [U, 2Bp, D0p]
-    else:
-        obs_p = jnp.pad(obs_cat, ((0, 0), (0, Bp - B), (0, D0p - D0)))
+    # pad batch data: rows beyond B get weight 0 (no loss/grad) and done 1.
+    # s and s' stay separate [U, Bp, D0p] tensors — the kernel runs the
+    # forward once per block (concatenated-block row slicing SIGABRTed
+    # Mosaic, see _make_kernel)
+    obs_s = jnp.pad(obs_cat[:, :B], ((0, 0), (0, Bp - B), (0, D0p - D0)))
+    obs_sp = (jnp.pad(obs_cat[:, B:], ((0, 0), (0, Bp - B), (0, D0p - D0)))
+              if double_q else None)
     # row vectors get a unit middle axis: a [U, 1, Bp] array lets the
     # per-step block be (1, Bp), satisfying the (8, 128)-divisible-or-full
     # constraint on the trailing two block dims
@@ -447,9 +466,10 @@ def fused_group_update(network, plan: FusedPlan, params, m, v, count,
     smem11 = pl.BlockSpec((1, 1), lambda u: (0, 0), memory_space=pltpu.SMEM)
 
     tensor_specs = [full(t.shape) for t in p_list]
+    obs_specs = [per_u3(Bp, D0p)] * (2 if double_q else 1)
     in_specs = (
-        [smem11, per_u3(B2p, D0p), per_u2(Bp), per_u2(Bp), per_u2(Bp),
-         per_u2(Bp), per_u3(Bp, Ap)]
+        [smem11] + obs_specs
+        + [per_u2(Bp), per_u2(Bp), per_u2(Bp), per_u2(Bp), per_u3(Bp, Ap)]
         + tensor_specs * 3
     )
     out_specs = (
@@ -465,6 +485,7 @@ def fused_group_update(network, plan: FusedPlan, params, m, v, count,
     )
     scratch = [pltpu.VMEM(t.shape, jnp.float32) for t in p_list] * 3
 
+    obs_args = (obs_s, obs_sp) if double_q else (obs_s,)
     outs = pl.pallas_call(
         kernel,
         grid=(U,),
@@ -473,7 +494,7 @@ def fused_group_update(network, plan: FusedPlan, params, m, v, count,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(count2d, obs_p, act_p, rew_p, done_p, w_p, qsp_p,
+    )(count2d, *obs_args, act_p, rew_p, done_p, w_p, qsp_p,
       *p_list, *m_list, *v_list)
 
     p_new = _unpack_into(network, params, plan, outs[:nt])

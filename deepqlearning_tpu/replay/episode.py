@@ -61,6 +61,13 @@ def _pow2(n: int) -> int:
     return p
 
 
+def _prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 class EpisodeReplayBuffer:
     def __init__(
         self,
@@ -71,6 +78,7 @@ class EpisodeReplayBuffer:
         max_episode_length: int,
         num_envs: int = 1,
         obs_dtype=jnp.float32,
+        max_ring_bytes: int = 2 << 30,
     ):
         self.obs_shape = tuple(obs_shape)
         self.max_size = int(max_size)          # episode capacity (aggregate)
@@ -88,6 +96,26 @@ class EpisodeReplayBuffer:
             max(2 * self.max_episode_length,
                 self.records_per_env * self.max_episode_length)
         )
+        # memory cap: the ring stores obs + next_obs per slot per env, which
+        # for image observations at the default buffer_size=1000/num_envs=1
+        # would be 131072 slots/env — GBs. Cap the ring at ``max_ring_bytes``
+        # (stale episode records remap to the env's newest episode, so a
+        # smaller ring only means earlier wraparound, not corruption).
+        slot_bytes = (2 * _prod(self.obs_shape) * jnp.dtype(obs_dtype).itemsize
+                      + 16)
+        min_ring = _pow2(2 * self.max_episode_length)
+        while (self.ring > min_ring
+               and self.num_envs * self.ring * slot_bytes > max_ring_bytes):
+            self.ring //= 2
+        total = self.num_envs * self.ring * slot_bytes
+        if total > max_ring_bytes:
+            raise ValueError(
+                f"EpisodeReplayBuffer needs {total / 2**30:.2f} GiB even at "
+                f"the minimum ring of 2*max_episode_length steps/env "
+                f"({min_ring} slots x {self.num_envs} envs x {slot_bytes} B). "
+                "Reduce num_envs, max_episode_length, or the observation "
+                "size, or raise max_ring_bytes."
+            )
 
     def init(self) -> EpisodeReplayState:
         E, R, M = self.num_envs, self.ring, self.records_per_env
@@ -168,8 +196,23 @@ class EpisodeReplayBuffer:
         (``src/episode_replay.jl:71-95``). Stale records (data overwritten by
         the time ring) are remapped to the env's most recent episode.
         """
-        B, T, R, M, E = (self.batch_size, self.trace_length, self.ring,
-                         self.records_per_env, self.num_envs)
+        return self._sample_batch(state, key, self.batch_size)
+
+    def sample_n(self, state: EpisodeReplayState, key, n_batches: int):
+        """Draw ``n_batches * batch_size`` windows in ONE gather.
+
+        The grouped DRQN train step shares a single episode-index draw and
+        window gather across its sub-updates (same amortization as
+        ``PrioritizedReplayBuffer.sample_n`` — the [nB, T, obs] row gather is
+        the latency-bound part). Returns an EpisodeBatch with a flat
+        ``[n * B]`` leading axis; the caller de-interleaves stride-``n``.
+        """
+        return self._sample_batch(state, key, self.batch_size * n_batches)
+
+    def _sample_batch(self, state: EpisodeReplayState, key,
+                      B: int) -> EpisodeBatch:
+        T, R, M, E = (self.trace_length, self.ring,
+                      self.records_per_env, self.num_envs)
         k_env, k_rec, k_start = jax.random.split(key, 3)
         env = jax.random.randint(k_env, (B,), 0, E)
         n_rec = jnp.maximum(jnp.minimum(state.rec_count[env], M), 1)

@@ -167,8 +167,15 @@ class PrioritizedReplayBuffer:
             done=ard[:, 2],
         )
         if self.prioritized:
-            p = prio / sumtree.total(state.tree)
-            weights = (state.size.astype(jnp.float32) * p) ** (-self.beta)
+            # guard the degenerate empty-buffer state (total mass 0): the
+            # descent then lands on leaf 0 with priority 0 and the IS weight
+            # would be 0^(-beta) = inf; clamp those draws to unit weight so a
+            # sample-before-populate call degrades to garbage-but-finite
+            # (populate-before-train remains the documented contract)
+            tot = sumtree.total(state.tree)
+            p = prio / jnp.maximum(tot, jnp.float32(1e-30))
+            n = jnp.maximum(state.size, 1).astype(jnp.float32)
+            weights = jnp.where(p > 0, (n * p) ** (-self.beta), 1.0)
         else:
             weights = jnp.ones((total_draws,), jnp.float32)
         return batch, idx, weights

@@ -30,3 +30,16 @@ class TransitionBatch(NamedTuple):
     reward: jnp.ndarray    # [B] float32
     next_obs: jnp.ndarray  # [B, *obs_shape] float
     done: jnp.ndarray      # [B] float32 (0/1)
+
+
+def batch_from_experience(exp: DQExperience) -> TransitionBatch:
+    """Singleton batch from one ``DQExperience`` — the host-path insert unit,
+    mirroring the reference's per-step ``DQExperience`` construction +
+    ``add_exp!`` (``src/solver.jl:88-95``)."""
+    return TransitionBatch(
+        obs=jnp.asarray(exp.s)[None],
+        action=jnp.asarray([exp.a], jnp.int32),
+        reward=jnp.asarray([exp.r], jnp.float32),
+        next_obs=jnp.asarray(exp.sp)[None],
+        done=jnp.asarray([float(exp.done)], jnp.float32),
+    )

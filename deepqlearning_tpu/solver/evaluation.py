@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _eval_rollout(env, params, network, n_eval, max_episode_length, key):
-    k_env, _ = jax.random.split(key)
+    # reset and per-step randomness come from disjoint splits — reusing the
+    # parent key for the scan keys would correlate them
+    k_env, k_steps = jax.random.split(key)
     env_state, obs = env.reset_batch(k_env, n_eval)
     net_state = network.init_state(n_eval)
 
@@ -30,7 +32,7 @@ def _eval_rollout(env, params, network, n_eval, max_episode_length, key):
         finished = jnp.logical_or(finished, done)
         return (env_state, obs, net_state, finished, ret, steps), None
 
-    keys = jax.random.split(key, max_episode_length + 1)
+    keys = jax.random.split(k_steps, max_episode_length + 1)
     init = (
         env_state, obs, net_state,
         jnp.zeros((n_eval,), bool),

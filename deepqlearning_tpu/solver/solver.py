@@ -112,10 +112,27 @@ class DeepQLearningSolver:
         if isinstance(env, HostEnv):
             return solve_host(self, env)
         if not isinstance(env, Env):
-            raise TypeError(
-                "solve expects a functional Env or a HostEnv; got "
-                f"{type(env).__name__}"
-            )
+            # auto-wrap raw FunctionalMDP/POMDP problems, matching the
+            # reference's POMDPs.solve dispatch which accepts an MDP/POMDP
+            # directly and wraps it (src/solver.jl:30-38)
+            from ..envs.adapters import MDPEnv, POMDPEnv, check_requirements
+
+            if callable(getattr(env, "observation", None)) and callable(
+                getattr(env, "convert_o", None)
+            ):
+                check_requirements(env, pomdp=True)
+                env = POMDPEnv(env)
+            elif callable(getattr(env, "initial_state", None)) and callable(
+                getattr(env, "gen", None)
+            ):
+                check_requirements(env, pomdp=False)
+                env = MDPEnv(env)
+            else:
+                raise TypeError(
+                    "solve expects a functional Env, a HostEnv, or a "
+                    "FunctionalMDP/POMDP problem object; got "
+                    f"{type(env).__name__}"
+                )
         return self._solve_functional(env, resume=resume)
 
     # ------------------------------------------------------------------

@@ -116,3 +116,54 @@ def test_full_train_state_resume(tmp_path):
     a = jax.tree_util.tree_leaves(p1.params)[0]
     b = jax.tree_util.tree_leaves(p2.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_opt_state_layout_conversion_both_ways(tmp_path):
+    # a checkpoint saved by the fused-Adam path must resume under the
+    # optax.flatten(adam) path and vice versa (same moments, same count)
+    from typing import NamedTuple
+
+    import optax
+
+    from deepqlearning_tpu.learner.train_step import (
+        FusedAdamState,
+        make_optimizer,
+    )
+
+    class Carry(NamedTuple):
+        params: dict
+        opt_state: object
+
+    net = Chain(Dense(3, 8), Dense(8, 2))
+    params = net.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3)
+    flat = opt.init(params)
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1, params)
+    _, flat = opt.update(grads, flat, params)
+    _, flat = opt.update(grads, flat, params)
+
+    # flat -> fused
+    d1 = str(tmp_path / "flat")
+    checkpoint.save_train_state(d1, Carry(params, flat))
+    fused_tmpl = Carry(params, FusedAdamState(
+        m=jax.tree_util.tree_map(jnp.zeros_like, params),
+        v=jax.tree_util.tree_map(jnp.zeros_like, params),
+        count=jnp.asarray(0, jnp.int32)))
+    loaded = checkpoint.load_train_state(d1, fused_tmpl)
+    assert int(loaded.opt_state.count) == 2
+    from jax.flatten_util import ravel_pytree
+
+    np.testing.assert_allclose(ravel_pytree(loaded.opt_state.m)[0],
+                               np.asarray(flat[0].mu), rtol=1e-6)
+    np.testing.assert_allclose(ravel_pytree(loaded.opt_state.v)[0],
+                               np.asarray(flat[0].nu), rtol=1e-6)
+
+    # fused -> flat
+    d2 = str(tmp_path / "fused")
+    checkpoint.save_train_state(d2, Carry(params, loaded.opt_state))
+    back = checkpoint.load_train_state(d2, Carry(params, opt.init(params)))
+    assert int(back.opt_state[0].count) == 2
+    np.testing.assert_allclose(np.asarray(back.opt_state[0].mu),
+                               np.asarray(flat[0].mu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.opt_state[0].nu),
+                               np.asarray(flat[0].nu), rtol=1e-6)

@@ -258,3 +258,48 @@ def test_solver_deterministic_given_seed():
 
     a, b = run(), run()
     np.testing.assert_allclose(a, b)
+
+
+def test_solve_auto_wraps_raw_mdp_problem():
+    # reference POMDPs.solve accepts a raw MDP and wraps it itself
+    # (src/solver.jl:30-38); solve() must do the same for FunctionalMDPs
+    model = Chain(Dense(1, 16), Dense(16, 2))
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=32, logdir=None, verbose=False,
+        train_start=32, buffer_size=128,
+        exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.1, 16)),
+    )
+    policy = solver.solve(StaticArrayMDP())  # no manual MDPEnv wrap
+    assert policy.action(np.asarray([1.0], np.float32)) in [0, 1]
+
+
+def test_solve_auto_wraps_raw_pomdp_problem():
+    model = Chain(Dense(1, 16), Dense(16, 2))
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=32, logdir=None, verbose=False,
+        train_start=32, buffer_size=128, max_episode_length=16,
+        exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.1, 16)),
+    )
+    policy = solver.solve(MiniPOMDP())  # no manual POMDPEnv wrap
+    assert policy.action(np.asarray([1.0], np.float32)) in ["stay", "guess"]
+
+
+def test_solve_rejects_non_problem_objects():
+    solver = DeepQLearningSolver(qnetwork=Chain(Dense(1, 2)), logdir=None)
+    with pytest.raises(TypeError, match="FunctionalMDP"):
+        solver.solve(object())
+
+
+def test_eval_deterministic_given_key():
+    # reset and per-step randomness must come from disjoint splits of the
+    # eval key; same key => identical result, different key => decorrelated
+    from deepqlearning_tpu import SimpleGridWorld
+    from deepqlearning_tpu.solver.evaluation import basic_evaluation
+
+    env = SimpleGridWorld()
+    net = Chain(Dense(2, 8), Dense(8, env.num_actions))
+    params = net.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(3)
+    r1, s1, _ = basic_evaluation(net, params, env, 16, 50, k)
+    r2, s2, _ = basic_evaluation(net, params, env, 16, 50, k)
+    assert (r1, s1) == (r2, s2)

@@ -296,3 +296,41 @@ def test_sumtree_large_tree_two_stage_descent_matches_cdf_inverse():
     if not exact.all():
         diff = np.abs(cdf[idx] - cdf[expected]) / cdf[-1]
         assert diff[~exact].max() < 1e-4
+
+
+def test_empty_buffer_sampling_is_finite():
+    # zero-total sum-tree: descent lands on leaf 0; IS weights must clamp to
+    # finite (unit) values instead of 0^(-beta) = inf
+    buf = PrioritizedReplayBuffer((3,), 16, 8)
+    state = buf.init()
+    batch, idx, weights = buf.sample(state, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(weights)))
+    assert np.all(np.asarray(idx) >= 0) and np.all(np.asarray(idx) < 16)
+
+
+def test_zero_total_sumtree_sample_in_range():
+    tree = sumtree.init_tree(8)
+    idx, prio = sumtree.sample(tree, jax.random.PRNGKey(0), 4)
+    assert np.all(np.asarray(idx) >= 0) and np.all(np.asarray(idx) < 8)
+    np.testing.assert_allclose(np.asarray(prio), 0.0)
+
+
+def test_episode_buffer_ring_memory_cap():
+    # image observations at the default sizing would need GBs; the ring must
+    # shrink to fit max_ring_bytes (never below 2 * max_episode_length)
+    buf = EpisodeReplayBuffer(
+        (84, 84, 4), max_size=1000, batch_size=4, trace_length=8,
+        max_episode_length=100, num_envs=1, max_ring_bytes=256 << 20,
+    )
+    slot = 2 * 84 * 84 * 4 * 4 + 16
+    assert buf.ring * slot <= 256 << 20
+    assert buf.ring >= 2 * buf.max_episode_length
+
+    # impossible even at the minimum ring -> actionable error
+    import pytest
+
+    with pytest.raises(ValueError, match="max_ring_bytes"):
+        EpisodeReplayBuffer(
+            (84, 84, 4), max_size=1000, batch_size=4, trace_length=8,
+            max_episode_length=100, num_envs=64, max_ring_bytes=16 << 20,
+        )

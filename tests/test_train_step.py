@@ -228,3 +228,54 @@ def test_grouped_step_applies_all_subupdates_and_priorities():
     idx, _ = sumtree.sample(st.tree, k, U * B)
     sub0 = np.asarray(idx).reshape(B, U)[:, 0]
     assert sub0.max() - sub0.min() > B  # spread across the ring, not a block
+
+
+def test_grouped_drqn_single_update_matches_sequential():
+    # grouped DRQN with n_updates=1 must match make_drqn_train_step exactly
+    # (uniform sampling: same key -> same windows)
+    from deepqlearning_tpu import EpisodeReplayBuffer, LSTM
+    from deepqlearning_tpu.learner.train_step import (
+        make_grouped_drqn_train_step,
+    )
+
+    buf = EpisodeReplayBuffer((2,), max_size=8, batch_size=4, trace_length=5,
+                              max_episode_length=6, num_envs=2)
+    st = buf.init()
+    key = jax.random.PRNGKey(0)
+    for t in range(12):
+        key, k = jax.random.split(key)
+        done = jnp.asarray([t % 4 == 3, t % 6 == 5], jnp.float32)
+        tr = TransitionBatch(
+            obs=jax.random.normal(k, (2, 2)),
+            action=jnp.asarray([t % 3, (t + 1) % 3], jnp.int32),
+            reward=jnp.ones((2,)),
+            next_obs=jax.random.normal(k, (2, 2)),
+            done=done,
+        )
+        st = buf.add_step(st, tr, done.astype(bool))
+
+    net = Chain(LSTM(2, 8), Dense(8, 3))
+    params = net.init(jax.random.PRNGKey(1))
+    step_a, opt = make_drqn_train_step(net, buf, 0.9, True, 1e-2)
+    step_b, _ = make_grouped_drqn_train_step(net, buf, 0.9, True, 1e-2, 1)
+    o = opt.init(params)
+    k = jax.random.PRNGKey(5)
+    ra = step_a(params, params, o, st, k)
+    rb = step_b(params, params, o, st, k)
+    np.testing.assert_allclose(float(ra.loss), float(rb.loss), rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(ra.params),
+                      jax.tree_util.tree_leaves(rb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-8)
+
+    # U=3 applies all sub-updates: params move strictly further
+    step_c, _ = make_grouped_drqn_train_step(net, buf, 0.9, True, 1e-2, 3)
+    rc = jax.jit(step_c)(params, params, o, st, k)
+    d_c = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+        jax.tree_util.tree_leaves(rc.params),
+        jax.tree_util.tree_leaves(params)))
+    d_a = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+        jax.tree_util.tree_leaves(ra.params),
+        jax.tree_util.tree_leaves(params)))
+    assert np.isfinite(float(rc.loss))
+    assert d_c > d_a

@@ -1,0 +1,171 @@
+"""Compile + equivalence-check every Pallas kernel ON THE REAL TPU at the
+exact bench shapes (U=8, B=512, dueling 2->64->64->4) plus the variants that
+tripped review (A != 4, non-dueling, single-Q).
+
+The interpret-mode CPU tests (tests/test_fused_update.py,
+tests/test_pallas_kernels.py) prove the math; THIS lane proves Mosaic can
+compile the kernels — the two failure modes are disjoint (round 1 shipped an
+interpret-green kernel that SIGABRTed the chip, BENCH_r01.json).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqlearning_tpu import (
+    Chain,
+    Dense,
+    Flatten,
+    TransitionBatch,
+    create_dueling_network,
+)
+from deepqlearning_tpu.learner.train_step import (
+    make_dqn_train_step,
+    make_fused_grouped_train_step,
+    make_grouped_dqn_train_step,
+)
+from deepqlearning_tpu.ops.pallas.fused_update import plan_for
+from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
+
+
+def _filled_buffer(obs_dim, n, B, A, key):
+    buf = PrioritizedReplayBuffer((obs_dim,), n, B, alpha=0.6, beta=0.4,
+                                  eps=1e-3, prioritized=True)
+    st = buf.init()
+    ks = jax.random.split(key, 5)
+    batch = TransitionBatch(
+        obs=jax.random.normal(ks[0], (n, obs_dim)),
+        action=jax.random.randint(ks[1], (n,), 0, A),
+        reward=jax.random.normal(ks[2], (n,)),
+        next_obs=jax.random.normal(ks[3], (n, obs_dim)),
+        done=(jax.random.uniform(ks[4], (n,)) < 0.1).astype(jnp.float32),
+    )
+    return buf, buf.insert(st, batch)
+
+
+def _tree_close(a, b, rtol=5e-4, atol=5e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def _params_mostly_close(a, b, atol, max_abs, max_frac=0.02):
+    """Bulk-distribution parameter agreement across precision domains.
+
+    Exact equivalence is proven in interpret mode; on-device the XLA and
+    Mosaic paths differ by ulps, and Adam's first-step update is
+    ±lr·sign(g) — an ulp flip of a near-zero gradient legitimately moves a
+    single weight by 2·lr. A real backward/Adam bug moves WHOLE TENSORS in
+    wrong directions, which the bulk check catches; isolated sign flips pass.
+    """
+    la = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(a)])
+    lb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(b)])
+    diff = np.abs(la - lb)
+    frac = float((diff > atol).mean())
+    assert frac <= max_frac, (
+        f"{frac:.2%} of params differ by more than {atol} "
+        f"(max diff {diff.max():.3e})"
+    )
+    assert diff.max() <= max_abs, f"max param diff {diff.max():.3e}"
+
+
+# bench shape first (obs_dim=2, A=4, B=512, U=8, dueling + double-Q), then
+# the review variants
+CASES = [
+    # (obs_dim, A, B, U, dueling, double_q, widths)
+    (2, 4, 512, 8, True, True, (64, 64)),      # exact bench config
+    (2, 4, 512, 8, False, True, (64, 64)),     # non-dueling
+    (2, 4, 512, 8, True, False, (64, 64)),     # single-Q
+    (5, 6, 512, 8, True, True, (64, 64)),      # A != 4
+    (2, 4, 256, 4, True, True, (32, 32)),      # off-bench sizes
+]
+
+
+@pytest.mark.parametrize("obs_dim,A,B,U,dueling,double_q,widths", CASES)
+def test_fused_update_compiles_and_matches_on_tpu(obs_dim, A, B, U, dueling,
+                                                  double_q, widths):
+    chain = Chain(Flatten(), Dense(obs_dim, widths[0], jnp.tanh),
+                  Dense(widths[0], widths[1], jnp.tanh),
+                  Dense(widths[1], A))
+    net = create_dueling_network(chain) if dueling else chain
+    assert plan_for(net) is not None
+    buf, st = _filled_buffer(obs_dim, 4 * B * U, B, A, jax.random.PRNGKey(0))
+    params = net.init(jax.random.PRNGKey(1))
+
+    ref_step, ref_opt = make_grouped_dqn_train_step(
+        net, buf, 0.95, double_q, 1e-2, U, use_pallas=False)
+    fus_step, fus_opt = make_fused_grouped_train_step(
+        net, buf, 0.95, double_q, 1e-2, U, interpret=False)  # REAL Mosaic
+
+    ro, fo = ref_opt.init(params), fus_opt.init(params)
+    k = jax.random.PRNGKey(7)
+    rres = jax.jit(ref_step)(params, params, ro, st, k)
+    fres = jax.jit(fus_step)(params, params, fo, st, k)
+    # bit-level equivalence is proven in interpret mode
+    # (tests/test_fused_update.py); on-device the two paths live in different
+    # precision domains (Mosaic VPU vs XLA): Adam near-zero-gradient sign
+    # flips and (for double-Q) argmax near-ties legitimately diverge a few
+    # elements by O(lr) and compound over the U sub-updates, so the on-device
+    # contract is bulk-distribution agreement, not allclose
+    np.testing.assert_allclose(float(rres.loss), float(fres.loss), rtol=2e-2)
+    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=5e-2)
+    # priorities: same bulk contract (|td|+eps)^alpha after U sub-updates
+    tr = np.asarray(rres.replay_state.tree[0])
+    tf = np.asarray(fres.replay_state.tree[0])
+    frac = float((np.abs(tr - tf) > 1e-2 + 2e-2 * np.abs(tr)).mean())
+    assert frac <= 0.02, f"{frac:.2%} of priorities diverge"
+
+
+def test_fused_first_update_td_matches_tight_on_tpu():
+    """First sub-update (U=1, single-Q): identical input params, no Adam
+    compounding, no argmax ties — forward/TD/priorities must agree tightly on
+    the device. This is the on-device MATH check; the parametrized cases
+    above are the compile + bulk checks."""
+    obs_dim, A, B = 2, 4, 512
+    net = create_dueling_network(Chain(
+        Flatten(), Dense(obs_dim, 64, jnp.tanh), Dense(64, 64, jnp.tanh),
+        Dense(64, A)))
+    buf, st = _filled_buffer(obs_dim, 4 * B, B, A, jax.random.PRNGKey(4))
+    params = net.init(jax.random.PRNGKey(5))
+    ref_step, ref_opt = make_grouped_dqn_train_step(
+        net, buf, 0.95, False, 1e-4, 1, use_pallas=False)
+    fus_step, fus_opt = make_fused_grouped_train_step(
+        net, buf, 0.95, False, 1e-4, 1, interpret=False)
+    k = jax.random.PRNGKey(9)
+    r = jax.jit(ref_step)(params, params, ref_opt.init(params), st, k)
+    f = jax.jit(fus_step)(params, params, fus_opt.init(params), st, k)
+    np.testing.assert_allclose(float(r.loss), float(f.loss), rtol=1e-4)
+    # priorities written back from the first TD pass: tight
+    np.testing.assert_allclose(np.asarray(r.replay_state.tree[0]),
+                               np.asarray(f.replay_state.tree[0]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_plan_rejects_wide_dueling_heads():
+    # A > 128 pads the heads to different widths; the dueling backward only
+    # supports equal padding (ADVICE r1 medium) — plan must refuse
+    chain = Chain(Dense(4, 64, jnp.tanh), Dense(64, 130))
+    net = create_dueling_network(chain)
+    assert plan_for(net) is None
+
+
+def test_td_kernel_compiles_and_matches_on_tpu():
+    # td_loss_fused inside make_dqn_train_step at bench batch size
+    obs_dim, A, B = 2, 4, 512
+    net = create_dueling_network(Chain(
+        Flatten(), Dense(obs_dim, 64, jnp.tanh), Dense(64, 64, jnp.tanh),
+        Dense(64, A)))
+    buf, st = _filled_buffer(obs_dim, 4 * B, B, A, jax.random.PRNGKey(2))
+    params = net.init(jax.random.PRNGKey(3))
+    ref_step, ref_opt = make_dqn_train_step(net, buf, 0.95, True, 1e-2,
+                                            use_pallas=False)
+    pal_step, pal_opt = make_dqn_train_step(net, buf, 0.95, True, 1e-2,
+                                            use_pallas=True)
+    k = jax.random.PRNGKey(11)
+    r = jax.jit(ref_step)(params, params, ref_opt.init(params), st, k)
+    p = jax.jit(pal_step)(params, params, pal_opt.init(params), st, k)
+    np.testing.assert_allclose(float(r.loss), float(p.loss), rtol=1e-3)
+    _tree_close(r.params, p.params)
