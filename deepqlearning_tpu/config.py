@@ -44,6 +44,10 @@ class DQNConfig:
     prioritized_replay_alpha: float = 0.6
     prioritized_replay_beta: float = 0.4
     prioritized_replay_epsilon: float = 1e-3
+    # "stratified" (O(log N) sum-tree descent, with replacement — default) or
+    # "without_replacement" (reference draw semantics via Gumbel-top-k, O(N);
+    # src/prioritized_experience_replay.jl:85)
+    prioritized_sample_mode: str = "stratified"
     buffer_size: int = 1000
     max_episode_length: int = 100
     train_start: int = 200

@@ -153,3 +153,24 @@ def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
         mass = mass - prev
         idx = idx * bf + j
     return idx, tree[0][idx]
+
+
+def sample_without_replacement(tree: Tree, key, batch_size: int):
+    """Weighted sampling *without* replacement — the reference's exact
+    semantics (``src/prioritized_experience_replay.jl:85``) via the
+    Gumbel-top-k trick: ``argtop_k(log p_i + Gumbel_i)`` is distributed as
+    successive proportional draws without replacement (Vieira 2014).
+
+    One [N]-wide elementwise pass + ``top_k`` instead of a tree descent —
+    O(N) work but fully vectorized; fine as an opt-in parity/ablation mode,
+    not the default at 256K+ leaves. Empty slots carry priority 0 →
+    ``log 0 = -inf`` → never selected while any filled slot remains.
+
+    Returns ``(indices [B] int32, priorities [B] float32)``.
+    """
+    leaves = tree[0]
+    g = jax.random.gumbel(key, leaves.shape, jnp.float32)
+    scores = jnp.where(leaves > 0, jnp.log(leaves) + g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, batch_size)
+    idx = idx.astype(jnp.int32)
+    return idx, leaves[idx]

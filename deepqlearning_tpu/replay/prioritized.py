@@ -17,8 +17,11 @@ Math parity with the reference:
     reference implements non-prioritized replay the same way
     (priority ``(0+eps)^alpha`` at insert, ``src/solver.jl:94``).
 
-Deviation (documented, SURVEY.md §7(a)): sampling is stratified
-with-replacement instead of weighted without-replacement.
+Deviation (documented, SURVEY.md §7(a)): default sampling is stratified
+with-replacement instead of weighted without-replacement; pass
+``sample_mode="without_replacement"`` for the reference's exact draw
+semantics (Gumbel-top-k, O(N)). ``scripts/per_ablation.py`` A/Bs the two
+on the learning test matrix.
 """
 from __future__ import annotations
 
@@ -65,6 +68,7 @@ class PrioritizedReplayBuffer:
         eps: float = 1e-3,
         prioritized: bool = True,
         obs_dtype=jnp.float32,
+        sample_mode: str = "stratified",
     ):
         self.obs_shape = tuple(obs_shape)
         self.max_size = int(max_size)
@@ -74,6 +78,16 @@ class PrioritizedReplayBuffer:
         self.eps = float(eps)
         self.prioritized = bool(prioritized)
         self.obs_dtype = obs_dtype
+        if sample_mode not in ("stratified", "without_replacement"):
+            raise ValueError(
+                f"sample_mode must be 'stratified' or 'without_replacement', "
+                f"got {sample_mode!r}"
+            )
+        # "without_replacement" reproduces the reference's exact draw
+        # semantics (src/prioritized_experience_replay.jl:85) via
+        # Gumbel-top-k — O(N) per sample, opt-in for parity/ablation;
+        # "stratified" is the O(log N) sum-tree descent (default).
+        self.sample_mode = sample_mode
 
     # ------------------------------------------------------------------
     def init(self) -> ReplayState:
@@ -156,7 +170,15 @@ class PrioritizedReplayBuffer:
         still covers the full priority mass.
         """
         total_draws = self.batch_size * n_batches
-        idx, prio = sumtree.sample(state.tree, key, total_draws)
+        if self.sample_mode == "without_replacement":
+            # grouped draws share one without-replacement pass, so sub-batches
+            # are mutually disjoint — strictly stronger than the reference's
+            # per-batch no-replacement guarantee
+            idx, prio = sumtree.sample_without_replacement(
+                state.tree, key, total_draws
+            )
+        else:
+            idx, prio = sumtree.sample(state.tree, key, total_draws)
         pair = state.obs_pair[idx].astype(jnp.float32)  # [nB, 2, *obs]
         ard = state.ard[idx]                            # [nB, 4]
         batch = TransitionBatch(

@@ -95,6 +95,7 @@ class DeepQLearningSolver:
             eps=cfg.prioritized_replay_epsilon,
             prioritized=cfg.prioritized_replay,
             obs_dtype=cfg.dtype,
+            sample_mode=cfg.prioritized_sample_mode,
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""PER sampler A/B: stratified with-replacement vs reference-exact
+without-replacement (Gumbel-top-k).
+
+Closes the VERDICT round-1 gap "nothing measures whether learning curves
+match the reference's sampler": trains the PER-DDQN learning-test config on
+TestMDP((5,5),4,6) and SimpleGridWorld with both ``prioritized_sample_mode``
+settings over several seeds and reports steps-to-threshold + final return
+per mode. Prints one JSON line.
+
+Run: ``python scripts/per_ablation.py`` (CPU is fine; ~minutes).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax.numpy as jnp
+
+from deepqlearning_tpu import (
+    Chain,
+    DeepQLearningSolver,
+    Dense,
+    EpsGreedyPolicy,
+    Flatten,
+    LinearDecaySchedule,
+    SimpleGridWorld,
+    TestMDP,
+)
+
+
+def run(problem, model, threshold, mode, seed, max_steps=10_000):
+    solver = DeepQLearningSolver(
+        qnetwork=model, max_steps=max_steps, learning_rate=5e-3,
+        eval_freq=500, num_ep_eval=100, log_freq=100_000, logdir=None,
+        verbose=False, double_q=True, dueling=True, prioritized_replay=True,
+        prioritized_sample_mode=mode, seed=seed,
+        exploration_policy=EpsGreedyPolicy(
+            LinearDecaySchedule(1.0, 0.01, max_steps // 2)
+        ),
+    )
+    solver.solve(problem)
+    crossed = next((t for t, r in solver.metrics["eval"] if r >= threshold), None)
+    final = solver.metrics["eval"][-1][1]
+    return crossed, final
+
+
+def main():
+    gw = SimpleGridWorld()
+    tm = TestMDP((5, 5), 4, 6)
+    cases = [
+        ("SimpleGridWorld", gw,
+         lambda: Chain(Dense(2, 32), Dense(32, gw.num_actions)), 1.0),
+        ("TestMDP(5,5)", tm,
+         lambda: Chain(Flatten(), Dense(100, 8, jnp.tanh),
+                       Dense(8, tm.num_actions)), 1.5),
+    ]
+    seeds = (0, 1, 2)
+    out = {}
+    for name, prob, mk, thr in cases:
+        out[name] = {}
+        for mode in ("stratified", "without_replacement"):
+            runs = [run(prob, mk(), thr, mode, s) for s in seeds]
+            out[name][mode] = {
+                "steps_to_threshold": [r[0] for r in runs],
+                "final_eval_return": [round(r[1], 3) for r in runs],
+            }
+    print(json.dumps({"metric": "per_sampler_ablation", "seeds": seeds,
+                      "results": out}))
+
+
+if __name__ == "__main__":
+    main()

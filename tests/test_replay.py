@@ -334,3 +334,45 @@ def test_episode_buffer_ring_memory_cap():
             (84, 84, 4), max_size=1000, batch_size=4, trace_length=8,
             max_episode_length=100, num_envs=64, max_ring_bytes=16 << 20,
         )
+
+
+def test_without_replacement_sampler_distinct_and_proportional():
+    # Gumbel-top-k draw: indices distinct within a batch, frequencies track
+    # priorities across batches, zero-priority (empty) slots never selected
+    prio = jnp.asarray([4.0, 2.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    tree = sumtree.set_priorities(
+        sumtree.init_tree(8), jnp.arange(8), prio
+    )
+    counts = np.zeros(8)
+    for i in range(400):
+        idx, p = sumtree.sample_without_replacement(
+            tree, jax.random.PRNGKey(i), 2
+        )
+        idx = np.asarray(idx)
+        assert len(set(idx.tolist())) == 2, "duplicate draw within batch"
+        assert (idx < 4).all(), "zero-priority slot sampled"
+        np.testing.assert_allclose(np.asarray(p), np.asarray(prio)[idx])
+        counts[idx] += 1
+    # slot 0 (mass 1/2) must be drawn far more often than slot 2 (mass 1/8)
+    assert counts[0] > counts[2] * 1.5
+    assert counts[4:].sum() == 0
+
+
+def test_without_replacement_buffer_mode_end_to_end():
+    buf = PrioritizedReplayBuffer(
+        (3,), max_size=16, batch_size=8, sample_mode="without_replacement"
+    )
+    state = buf.init()
+    state = buf.insert(state, _batch(16))
+    batch, idx, w = buf.sample(state, jax.random.PRNGKey(0))
+    assert len(set(np.asarray(idx).tolist())) == 8
+    assert np.isfinite(np.asarray(w)).all()
+    # IS-weight math identical to the stratified path (reference :101-102)
+    tot = float(sumtree.total(state.tree))
+    p = np.asarray(sumtree.get_leaf(state.tree, idx)) / tot
+    np.testing.assert_allclose(np.asarray(w), (16 * p) ** (-buf.beta), rtol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_mode"):
+        PrioritizedReplayBuffer((3,), 16, 8, sample_mode="bogus")
