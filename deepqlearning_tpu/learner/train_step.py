@@ -326,9 +326,18 @@ def _make_drqn_update(network, buffer, gamma, double_q, optimizer, axis_name):
 
         # --- targets: unroll online+target nets over s' from zero state
         # (Flux.reset! then stateful loop, src/solver.jl:249-269); input
-        # projections are hoisted out of the recurrence (apply_sequence) ---
-        q_onl_seq, _ = network.apply_sequence(params, nobs_t, init_state)
-        q_tgt_seq, _ = network.apply_sequence(target_params, nobs_t, init_state)
+        # projections are hoisted out of the recurrence (apply_sequence).
+        # The two nets share one structure, so stacking their params and
+        # vmapping gives ONE unroll with doubled matmul width instead of two
+        # sequential unrolls — the recurrence is latency-bound, not
+        # FLOP-bound, so this halves the target phase's serial chain ---
+        pstack = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), params, target_params
+        )
+        q_both, _ = jax.vmap(
+            lambda p: network.apply_sequence(p, nobs_t, init_state)
+        )(pstack)
+        q_onl_seq, q_tgt_seq = q_both[0], q_both[1]
         if double_q:
             best = jnp.argmax(q_onl_seq, axis=-1)
             q_sp_max = jnp.take_along_axis(q_tgt_seq, best[..., None], -1)[..., 0]

@@ -15,7 +15,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+# env-var JAX_PLATFORMS is not honored once the axon TPU plugin registers
+# (see .claude/skills/verify/SKILL.md); force CPU via jax.config instead
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 

@@ -177,7 +177,9 @@ def make_train_only():
             res = ts(params, target_params, opt_state, replay, k)
             return (res.params, target_params, res.opt_state,
                     res.replay_state, lkey), None
-        init = (carry.params, carry.target_params, carry.opt_state,
+        # opt-state layout differs between the fused (carry) and optax
+        # paths — init a fresh matching state for this section
+        init = (carry.params, carry.target_params, _opt.init(carry.params),
                 carry.replay, carry.lkey)
         (p, tp, o, r, k), _ = jax.lax.scan(
             body, init, None, length=N_ITERS * UPDATES)
@@ -201,7 +203,7 @@ def make_train_grouped():
             res = ts(params, target_params, opt_state, replay, k)
             return (res.params, target_params, res.opt_state,
                     res.replay_state, lkey), None
-        init = (carry.params, carry.target_params, carry.opt_state,
+        init = (carry.params, carry.target_params, _opt.init(carry.params),
                 carry.replay, carry.lkey)
         (p, tp, o, r, k), _ = jax.lax.scan(
             body, init, None, length=N_ITERS)

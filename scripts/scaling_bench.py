@@ -24,6 +24,11 @@ os.environ["XLA_FLAGS"] = (
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# belt-and-braces: the env var alone is not always honored once the axon
+# TPU plugin registers (verify SKILL.md gotcha)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
