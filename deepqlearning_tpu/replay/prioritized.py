@@ -83,6 +83,14 @@ class PrioritizedReplayBuffer:
                 f"sample_mode must be 'stratified' or 'without_replacement', "
                 f"got {sample_mode!r}"
             )
+        if sample_mode == "without_replacement" and self.batch_size > self.max_size:
+            # each per-batch Gumbel-top-k pass draws batch_size distinct
+            # leaves; more draws than leaves is unsatisfiable (the reference's
+            # StatsBase draw errors on k > N too)
+            raise ValueError(
+                f"without_replacement sampling needs batch_size "
+                f"({self.batch_size}) <= buffer max_size ({self.max_size})"
+            )
         # "without_replacement" reproduces the reference's exact draw
         # semantics (src/prioritized_experience_replay.jl:85) via
         # Gumbel-top-k — O(N) per sample, opt-in for parity/ablation;
@@ -171,12 +179,25 @@ class PrioritizedReplayBuffer:
         """
         total_draws = self.batch_size * n_batches
         if self.sample_mode == "without_replacement":
-            # grouped draws share one without-replacement pass, so sub-batches
-            # are mutually disjoint — strictly stronger than the reference's
-            # per-batch no-replacement guarantee
-            idx, prio = sumtree.sample_without_replacement(
-                state.tree, key, total_draws
-            )
+            # one independent Gumbel-top-k pass PER sub-batch (the reference
+            # draws without replacement per batch, with replacement across
+            # batches — src/prioritized_experience_replay.jl:85); a single
+            # shared pass over all n*B draws would make sub-batches mutually
+            # disjoint, a different distribution (ADVICE r2). The [U, B]
+            # draws are interleaved so the caller's stride-U de-interleave
+            # recovers sub-batch u from pass u.
+            # Fill precondition: each pass needs batch_size filled leaves
+            # (train_start >= batch_size); draws beyond the filled count get
+            # priority 0 and are masked to zero IS weight below, so they
+            # contribute nothing rather than training on garbage rows.
+            keys = jax.random.split(key, n_batches)
+            idx_u, prio_u = jax.vmap(
+                lambda k: sumtree.sample_without_replacement(
+                    state.tree, k, self.batch_size
+                )
+            )(keys)  # [n, B]
+            idx = jnp.swapaxes(idx_u, 0, 1).reshape(-1)
+            prio = jnp.swapaxes(prio_u, 0, 1).reshape(-1)
         else:
             idx, prio = sumtree.sample(state.tree, key, total_draws)
         pair = state.obs_pair[idx].astype(jnp.float32)  # [nB, 2, *obs]
@@ -197,7 +218,14 @@ class PrioritizedReplayBuffer:
             tot = sumtree.total(state.tree)
             p = prio / jnp.maximum(tot, jnp.float32(1e-30))
             n = jnp.maximum(state.size, 1).astype(jnp.float32)
-            weights = jnp.where(p > 0, (n * p) ** (-self.beta), 1.0)
+            # p == 0 handling differs by mode: the stratified descent only
+            # lands on a zero leaf when the whole buffer is empty (clamp to
+            # unit weight: garbage-but-finite degrade); a without-replacement
+            # pass hands out zero-priority UNFILLED slots whenever it runs
+            # out of filled leaves — those must get weight 0 so they are
+            # silently ignored, not silently trained on (ADVICE r2 medium).
+            zero_w = 0.0 if self.sample_mode == "without_replacement" else 1.0
+            weights = jnp.where(p > 0, (n * p) ** (-self.beta), zero_w)
         else:
             weights = jnp.ones((total_draws,), jnp.float32)
         return batch, idx, weights

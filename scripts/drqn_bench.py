@@ -70,10 +70,16 @@ def main():
 
     @jax.jit
     def populate(carry):
+        # recurrent populate sizing: every env must commit at least one
+        # episode before sampling (max_episode_length+1 lockstep steps), same
+        # as _solve_functional — so the measured loop trains on real windows,
+        # not uncommitted zero traces (ADVICE r2)
         actor, replay, params = carry.actor, carry.replay, carry.params
         (actor, replay, params), _ = jax.lax.scan(
-            populate_step, (actor, replay, params), None, length=4
+            populate_step, (actor, replay, params), None,
+            length=cfg.max_episode_length + 1,
         )
+        replay = buffer.reset_in_progress(replay)
         return carry._replace(actor=actor, replay=replay)
 
     def sync(carry):

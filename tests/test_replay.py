@@ -376,3 +376,49 @@ def test_without_replacement_buffer_mode_end_to_end():
 
     with pytest.raises(ValueError, match="sample_mode"):
         PrioritizedReplayBuffer((3,), 16, 8, sample_mode="bogus")
+
+
+def test_without_replacement_grouped_draws_are_per_subbatch():
+    # reference semantics: without replacement WITHIN a batch, independent
+    # ACROSS batches (src/prioritized_experience_replay.jl:85). With only 8
+    # filled slots and 8 draws/sub-batch, each sub-batch must be a
+    # permutation of the filled slots — and sub-batches therefore repeat
+    # indices across passes (a single shared pass could not: it would need
+    # 32 distinct draws from 8 slots).
+    buf = PrioritizedReplayBuffer(
+        (3,), max_size=8, batch_size=8, sample_mode="without_replacement"
+    )
+    state = buf.insert(buf.init(), _batch(8))
+    U = 4
+    batch, idx, w = buf.sample_n(state, jax.random.PRNGKey(3), U)
+    idx = np.asarray(idx)
+    assert idx.shape == (U * 8,)
+    for u in range(U):
+        sub = idx[u::U]  # caller's stride-U de-interleave
+        assert sorted(sub.tolist()) == list(range(8)), sub
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_without_replacement_unfilled_draws_get_zero_weight():
+    # only 4 of 16 slots filled, 8 draws: the extra 4 land on empty slots
+    # (priority 0) and must carry IS weight 0, not 1 (ADVICE r2 medium)
+    buf = PrioritizedReplayBuffer(
+        (3,), max_size=16, batch_size=8, sample_mode="without_replacement"
+    )
+    state = buf.insert(buf.init(), _batch(4))
+    batch, idx, w = buf.sample(state, jax.random.PRNGKey(0))
+    idx, w = np.asarray(idx), np.asarray(w)
+    filled = idx < 4
+    assert filled.sum() == 4  # all filled slots drawn first
+    assert (w[~filled] == 0.0).all()
+    assert (w[filled] > 0.0).all()
+
+
+def test_without_replacement_batch_exceeding_capacity_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        PrioritizedReplayBuffer(
+            (3,), max_size=8, batch_size=16,
+            sample_mode="without_replacement",
+        )
