@@ -39,6 +39,8 @@ from .solver.exploration import (
     ConstantEpsilon,
     EpsGreedyPolicy,
     LinearDecaySchedule,
+    VectorizedStrategy,
+    epsilon_greedy_select,
     exploration,
     linear_epsilon_greedy,
 )
@@ -65,6 +67,7 @@ __all__ = [
     "TigerPOMDP", "CartPole", "MountainCar", "Acrobot",
     # exploration / evaluation
     "EpsGreedyPolicy", "LinearDecaySchedule", "ConstantEpsilon",
+    "VectorizedStrategy", "epsilon_greedy_select",
     "linear_epsilon_greedy", "exploration", "basic_evaluation", "evaluation",
 ]
 

@@ -59,28 +59,33 @@ def init_actor(env, network, num_envs: int, key) -> ActorState:
 
 
 def make_collect_step(env, network, max_episode_length: int, eps_fn,
-                      insert_fn):
+                      insert_fn, select_fn=None):
     """Build one lockstep env-step:
 
     ``eps_fn(t) -> eps`` is the exploration schedule (jit-friendly);
+    ``select_fn(q [E, A], t, key) -> (actions [E], eps)`` is the exploration
+    strategy (the jit-traceable vectorized-strategy protocol,
+    ``solver/exploration.py``) — defaults to ε-greedy over ``eps_fn``;
     ``insert_fn(replay_state, transition_batch, ended) -> replay_state``
     commits transitions (feed-forward ring insert or episode accumulate).
     Returns ``step((actor, replay, params), None) -> ((actor, replay, params), None)``
     suitable for ``lax.scan``.
     """
+    if select_fn is None:
+        from ..solver.exploration import epsilon_greedy_select
+
+        select_fn = epsilon_greedy_select(eps_fn)
 
     def step(carry, _):
         actor, replay, params = carry
         num_envs = actor.obs.shape[0]
-        key, k_eps, k_act, k_step, k_reset = jax.random.split(actor.key, 5)
+        key, k_sel, k_step, k_reset = jax.random.split(actor.key, 4)
 
-        # ε-greedy action from the online net (src/solver.jl:83, policy.jl:38-46)
+        # exploration action from the online net's Q-values
+        # (src/solver.jl:83, policy.jl:38-46)
         q, net_state = network.apply(params, actor.obs, actor.net_state)
-        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
-        eps = eps_fn(actor.t)
-        explore = jax.random.uniform(k_eps, (num_envs,)) < eps
-        random_a = jax.random.randint(k_act, (num_envs,), 0, env.num_actions)
-        action = jnp.where(explore, random_a, greedy)
+        action, _eps = select_fn(q, actor.t, k_sel)
+        action = action.astype(jnp.int32)
 
         env_state, next_obs, reward, done = env.step_batch(
             actor.env_state, action, k_step

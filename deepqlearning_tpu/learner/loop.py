@@ -19,6 +19,8 @@ from .actor import ActorState, make_collect_step
 from .train_step import (
     make_dqn_train_step,
     make_drqn_train_step,
+    make_fused_dp_train_step,
+    make_fused_grouped_drqn_train_step,
     make_fused_grouped_train_step,
     make_grouped_dqn_train_step,
     make_grouped_drqn_train_step,
@@ -44,33 +46,65 @@ class LoopCarry(NamedTuple):
 
 
 def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
-               axis_name: Optional[str] = None):
+               axis_name: Optional[str] = None, select_fn=None):
     """Returns ``(iteration, populate_step, optimizer)``.
 
     ``iteration(carry, _) -> (carry, None)`` is scan-able; ``populate_step``
     is the ε=1 collect step used to pre-fill replay
     (``initialize_replay_buffer``, ``src/solver.jl:180-189``).
+    ``select_fn`` optionally overrides the exploration strategy with a
+    jit-traceable ``(q, t, key) -> (actions, eps)`` protocol function
+    (``solver/exploration.py``); populate always uses ε=1 random actions.
     """
     grouped = cfg.grouped_updates and cfg.updates_per_iter > 1
-    fused = False
+    fused = fused_drqn = False
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if grouped and not cfg.recurrence and cfg.fused_updates is not False:
         from ..ops.pallas.fused_update import plan_for
 
-        supported = axis_name is None and plan_for(network) is not None
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        supported = plan_for(network) is not None
         # Auto-enable on TPU when the network is supported; an explicit
         # fused_updates=True forces the (interpreted) path on cpu/gpu too.
+        # Under a mesh axis the grads-emitting kernel variant runs instead of
+        # the whole-phase kernel (pmean + Adam stay in XLA) — the fused path
+        # composes with data parallelism either way.
         fused = supported and (on_tpu or cfg.fused_updates is True)
         if cfg.fused_updates is True and not supported:
             import warnings
 
+            warnings.warn(
+                "fused_updates=True cannot be honored (network unsupported "
+                "by the fused kernel); falling back to the grouped XLA path",
+                stacklevel=2,
+            )
+    if cfg.recurrence and cfg.fused_updates is not False:
+        # The fused DRQN kernel covers U >= 1 (even a single sub-update wins:
+        # the whole T-step unroll chain collapses into one launch). Grouping
+        # on the recurrent path is exactly equivalent to sequential updates
+        # (uniform sampling, no priorities), so fusion needs no grouped flag.
+        from ..ops.pallas.fused_drqn import drqn_plan_for
+
+        supported = axis_name is None and drqn_plan_for(
+            network, buffer.trace_length, buffer.batch_size, cfg.double_q
+        ) is not None
+        fused_drqn = supported and (on_tpu or cfg.fused_updates is True)
+        if cfg.fused_updates is True and not supported:
+            import warnings
+
             reason = ("multi-chip axis_name set" if axis_name is not None
-                      else "network unsupported by the fused kernel")
+                      else "network unsupported by the fused DRQN kernel")
             warnings.warn(
                 f"fused_updates=True cannot be honored ({reason}); "
-                "falling back to the grouped XLA path", stacklevel=2,
+                "falling back to the XLA recurrent path", stacklevel=2,
             )
-    if cfg.recurrence and grouped:
+    if cfg.recurrence and fused_drqn:
+        train_step, optimizer = make_fused_grouped_drqn_train_step(
+            network, buffer, gamma, cfg.double_q, cfg.learning_rate,
+            cfg.updates_per_iter if grouped else 1,
+            interpret=not on_tpu,
+        )
+        insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
+    elif cfg.recurrence and grouped:
         train_step, optimizer = make_grouped_drqn_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
             cfg.updates_per_iter, axis_name=axis_name,
@@ -82,11 +116,18 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
             axis_name=axis_name,
         )
         insert_fn = lambda replay, tr, ended: buffer.add_step(replay, tr, ended)
+    elif fused and axis_name is not None:
+        train_step, optimizer = make_fused_dp_train_step(
+            network, buffer, gamma, cfg.double_q, cfg.learning_rate,
+            cfg.updates_per_iter, axis_name=axis_name,
+            interpret=not on_tpu,
+        )
+        insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
     elif fused:
         train_step, optimizer = make_fused_grouped_train_step(
             network, buffer, gamma, cfg.double_q, cfg.learning_rate,
             cfg.updates_per_iter,
-            interpret=jax.default_backend() in ("cpu", "gpu"),
+            interpret=not on_tpu,
         )
         insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
     elif grouped:
@@ -103,7 +144,8 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
         insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
 
     collect_step = make_collect_step(
-        env, network, cfg.max_episode_length, eps_fn, insert_fn
+        env, network, cfg.max_episode_length, eps_fn, insert_fn,
+        select_fn=select_fn,
     )
     populate_step = make_collect_step(
         env, network, cfg.max_episode_length, lambda t: jnp.asarray(1.0), insert_fn

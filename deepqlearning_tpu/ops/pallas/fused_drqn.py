@@ -1,0 +1,657 @@
+"""Whole-train-phase fused Pallas kernel for the recurrent (DRQN) path.
+
+Round-2 profiling left the recurrent path 17.8x slower than the feed-forward
+one (3.0M vs 53.7M env-steps/s): each sub-update pays the full XLA launch
+chain per LSTM recurrence step — at trace 8 with double-Q that is ~3 serial
+unrolls x 8 steps x ~6 tiny kernels, all launch latency, per sub-update. The
+math itself is microseconds of MXU time.
+
+This kernel is the recurrent sibling of ``fused_update.py``: a grid of U
+steps runs the U sub-updates of the grouped DRQN train step back to back in
+ONE ``pallas_call``. Parameters and Adam moments live in VMEM scratch across
+grid steps; each grid step streams in its sub-batch's trace windows, runs
+
+  * the online-net unroll over s' (double-Q argmax; target-net Q(s') is
+    computed once outside — the target net is frozen within the step),
+  * the online-net unroll over s with cached activations,
+  * the masked time-summed Huber loss of the reference's recurrent
+    ``batch_train!`` (``src/solver.jl:258-282``),
+  * a hand-derived BPTT through the LSTM + dense stacks, and
+  * the Adam update,
+
+entirely in VMEM. No PER on this path, as in the reference
+(``src/solver.jl:285``).
+
+Layout: everything is **feature-major** ``[features, batch]`` — features on
+sublanes, batch on lanes. At DRQN sizes (H=8..64, B=32..512) this keeps every
+tensor a handful of (8, 128) tiles and — crucially — makes every slice the
+kernel takes a *static, sublane-aligned* ref slice (timestep t of a field
+packed ``[T * rows8, B]`` lives at row offset ``t * rows8`` with ``rows8`` a
+multiple of 8). No value-level slicing of intermediates anywhere (the
+construct that killed Mosaic in round 1, see ``fused_update._make_kernel``).
+
+Per-step scalar rows (action/reward/done/mask) are packed replicated x8 on
+sublanes and read back with a full-block ``max`` reduce — a zero-risk
+alternative to single-row reads at unaligned sublane offsets.
+
+Supported networks: ``[Flatten]* [Dense]* LSTM`` base with either a plain
+``[Dense]+`` head or dueling val/adv Dense heads (the reference's entire
+recurrent model family, ``test/runtests.jl:117,131-147``). GRU and
+multi-recurrent chains fall back to the XLA grouped path.
+
+Semantics are those of ``make_grouped_drqn_train_step``
+(``learner/train_step.py``) — equivalence tested in interpret mode
+(tests/test_fused_drqn.py) and on real Mosaic (tests_tpu/).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.chain import LSTM, Chain, Dense, Flatten
+from ...models.dueling import DuelingNetwork
+from .fused_update import _act_name, _apply_act, _act_grad
+
+
+def _r8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def _r128(x: int) -> int:
+    return (x + 127) // 128 * 128
+
+
+@dataclasses.dataclass(frozen=True)
+class _LP:
+    """One dense layer, feature-major: w^T is [dout_p, din_p], b is [dout_p, 1]."""
+
+    din: int
+    dout: int
+    din_p: int
+    dout_p: int
+    act: str
+
+
+@dataclasses.dataclass(frozen=True)
+class DRQNPlan:
+    in_dim: int        # flattened observation features
+    in_p: int
+    pre: Tuple[_LP, ...]   # dense layers before the LSTM
+    lstm_in: int
+    lstm_in_p: int
+    H: int
+    Hp: int
+    dueling: bool
+    val: Tuple[_LP, ...]   # () when not dueling
+    adv: Tuple[_LP, ...]   # the post-LSTM head (plain) or advantage head
+    A: int
+    A_p: int
+
+
+def _dense8(chain: Chain) -> Optional[Tuple[_LP, ...]]:
+    """All-Dense chain -> feature-major layer plans (8-padded), else None."""
+    layers = [l for l in chain.layers if not isinstance(l, Flatten)]
+    if not all(isinstance(l, Dense) for l in layers):
+        return None
+    plans = []
+    for l in layers:
+        act = _act_name(l.activation)
+        if act is None or not l.use_bias:
+            return None
+        plans.append(_LP(l.in_dim, l.out_dim, _r8(l.in_dim), _r8(l.out_dim), act))
+    return tuple(plans)
+
+
+def _split_base(layers) -> Optional[Tuple[Tuple[_LP, ...], LSTM]]:
+    """``[Flatten]* [Dense]* LSTM`` -> (pre plans, lstm). None if unsupported."""
+    layers = [l for l in layers if not isinstance(l, Flatten)]
+    if not layers or not isinstance(layers[-1], LSTM):
+        return None
+    if not all(isinstance(l, Dense) for l in layers[:-1]):
+        return None
+    pre = []
+    for l in layers[:-1]:
+        act = _act_name(l.activation)
+        if act is None or not l.use_bias:
+            return None
+        pre.append(_LP(l.in_dim, l.out_dim, _r8(l.in_dim), _r8(l.out_dim), act))
+    return tuple(pre), layers[-1]
+
+
+def drqn_plan_for(network, trace_length: int, batch_size: int,
+                  double_q: bool = True) -> Optional[DRQNPlan]:
+    """Static inspection: a kernel plan if the recurrent network is supported
+    and the working set fits VMEM, else None (callers fall back to XLA)."""
+    if isinstance(network, DuelingNetwork):
+        sb = _split_base(network.base.layers)
+        if sb is None:
+            return None
+        pre, lstm = sb
+        val, adv = _dense8(network.val), _dense8(network.adv)
+        if not val or not adv:
+            return None
+        if val[0].din != lstm.hidden or adv[0].din != lstm.hidden:
+            return None
+        dueling = True
+    elif isinstance(network, Chain):
+        try:
+            i = next(j for j, l in enumerate(network.layers)
+                     if isinstance(l, LSTM))
+        except StopIteration:
+            return None
+        sb = _split_base(network.layers[: i + 1])
+        if sb is None:
+            return None
+        pre, lstm = sb
+        post = Chain(network.layers[i + 1:])
+        if post.recurrent or not post.layers:
+            return None
+        adv = _dense8(post)
+        if not adv or adv[0].din != lstm.hidden:
+            return None
+        val, dueling = (), False
+    else:
+        return None
+
+    in_dim = pre[0].din if pre else lstm.in_dim
+    H, Hp = lstm.hidden, _r8(lstm.hidden)
+    A = adv[-1].dout
+    T, Bp = int(trace_length), _r128(int(batch_size))
+
+    # VMEM budget: params x9 (in/out/scratch x p/m/v) + double-buffered
+    # per-u input blocks + the live activation set the unrolled loops keep
+    # (Mosaic spills register lists to VMEM)
+    lstm_in_p = _r8(lstm.in_dim)
+    pbytes = 4 * (
+        sum(l.din_p * l.dout_p + l.dout_p for l in pre + val + adv)
+        + 4 * (Hp * lstm_in_p + Hp * Hp + Hp)
+    )
+    in_rows = T * (_r8(in_dim) * (2 if double_q else 1) + _r8(A) + 4 * 8)
+    ibytes = 4 * in_rows * Bp * 2  # x2: Pallas double-buffers input blocks
+    act_bytes = 4 * Bp * T * (
+        7 * Hp                                            # h, c, i, f, g, o, tanh(c)
+        + sum(l.dout_p for l in pre) + _r8(in_dim)        # pre activations + input
+        + sum(l.dout_p for l in val + adv)                # head activations
+        + 3 * 8                                           # g_td / a_t rows
+    )
+    if 9 * pbytes + ibytes + act_bytes > 10 * 1024 * 1024:
+        return None
+    return DRQNPlan(
+        in_dim=in_dim, in_p=_r8(in_dim), pre=pre,
+        lstm_in=lstm.in_dim, lstm_in_p=lstm_in_p, H=H, Hp=Hp,
+        dueling=dueling, val=val, adv=adv, A=A, A_p=_r8(A),
+    )
+
+
+# ---------------------------------------------------------------- packing
+
+def _chain_wb(chain_layers, ps):
+    """Yield (w, b) of Dense layers (skipping Flatten) in order."""
+    out = []
+    for layer, p in zip(chain_layers, ps):
+        if isinstance(layer, Dense):
+            out.append((p["w"], p["b"]))
+    return out
+
+
+def _split_net(network, tree, plan: DRQNPlan):
+    """-> (pre (w,b) list, lstm params dict, val (w,b) list, adv (w,b) list)."""
+    if plan.dueling:
+        base_layers, base_ps = network.base.layers, tree["base"]
+        val = _chain_wb(network.val.layers, tree["val"])
+        adv = _chain_wb(network.adv.layers, tree["adv"])
+    else:
+        i = next(j for j, l in enumerate(network.layers) if isinstance(l, LSTM))
+        base_layers, base_ps = network.layers[: i + 1], tree[: i + 1]
+        val = []
+        adv = _chain_wb(network.layers[i + 1:], tree[i + 1:])
+    pre = _chain_wb(base_layers[:-1], base_ps[:-1])
+    lstm_p = base_ps[-1]
+    return pre, lstm_p, val, adv
+
+
+def _pad_wT(w, lp: _LP):
+    """[din, dout] -> feature-major padded [dout_p, din_p]."""
+    wt = jnp.transpose(w.astype(jnp.float32))
+    return jnp.pad(wt, ((0, lp.dout_p - lp.dout), (0, lp.din_p - lp.din)))
+
+
+def _pad_b(b, dout: int, dout_p: int):
+    return jnp.pad(b.astype(jnp.float32), (0, dout_p - dout)).reshape(dout_p, 1)
+
+
+def pack_drqn(network, tree, plan: DRQNPlan):
+    """Params-like pytree -> flat list of padded feature-major tensors.
+
+    Order: pre (wT,b)* | wiT_i..o | whT_i..o | b_i..o | val (wT,b)* | adv (wT,b)*.
+    Gate order follows ``LSTM._cell``'s ``jnp.split``: i, f, g, o.
+    """
+    pre, lstm_p, val, adv = _split_net(network, tree, plan)
+    H, Hp, Ip = plan.H, plan.Hp, plan.lstm_in_p
+    packed = []
+    for (w, b), lp in zip(pre, plan.pre):
+        packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
+    wi, wh, bb = lstm_p["wi"], lstm_p["wh"], lstm_p["b"]
+    for g in range(4):
+        sl = slice(g * H, (g + 1) * H)
+        wt = jnp.transpose(wi[:, sl].astype(jnp.float32))  # [H, in]
+        packed.append(jnp.pad(wt, ((0, Hp - H), (0, Ip - plan.lstm_in))))
+    for g in range(4):
+        sl = slice(g * H, (g + 1) * H)
+        wt = jnp.transpose(wh[:, sl].astype(jnp.float32))  # [H, H]
+        packed.append(jnp.pad(wt, ((0, Hp - H), (0, Hp - H))))
+    for g in range(4):
+        packed.append(_pad_b(bb[g * H:(g + 1) * H], H, Hp))
+    for (w, b), lp in zip(val, plan.val):
+        packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
+    for (w, b), lp in zip(adv, plan.adv):
+        packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
+    return packed
+
+
+def unpack_drqn(network, tree, plan: DRQNPlan, packed):
+    """Inverse of :func:`pack_drqn` into a pytree shaped like ``tree``."""
+    flat = list(packed)
+    H = plan.H
+
+    def take_dense(lp: _LP):
+        wt = flat.pop(0)[: lp.dout, : lp.din]
+        b = flat.pop(0)[: lp.dout, 0]
+        return {"w": jnp.transpose(wt), "b": b}
+
+    pre_ps = [take_dense(lp) for lp in plan.pre]
+    wi_g = [flat.pop(0)[:H, : plan.lstm_in] for _ in range(4)]
+    wh_g = [flat.pop(0)[:H, :H] for _ in range(4)]
+    b_g = [flat.pop(0)[:H, 0] for _ in range(4)]
+    lstm_p = {
+        "wi": jnp.concatenate([jnp.transpose(w) for w in wi_g], axis=1),
+        "wh": jnp.concatenate([jnp.transpose(w) for w in wh_g], axis=1),
+        "b": jnp.concatenate(b_g, axis=0),
+    }
+    val_ps = [take_dense(lp) for lp in plan.val]
+    adv_ps = [take_dense(lp) for lp in plan.adv]
+
+    def rebuild_chain(layers, old, dense_new):
+        dense_new = list(dense_new)
+        return tuple(
+            dense_new.pop(0) if isinstance(l, Dense) else old_p
+            for l, old_p in zip(layers, old)
+        )
+
+    if plan.dueling:
+        base_layers, base_old = network.base.layers, tree["base"]
+        base_new = list(rebuild_chain(base_layers[:-1], base_old[:-1], pre_ps))
+        base_new.append(lstm_p)
+        return {
+            "base": tuple(base_new),
+            "val": rebuild_chain(network.val.layers, tree["val"], val_ps),
+            "adv": rebuild_chain(network.adv.layers, tree["adv"], adv_ps),
+        }
+    i = next(j for j, l in enumerate(network.layers) if isinstance(l, LSTM))
+    out = list(rebuild_chain(network.layers[:i], tree[:i], pre_ps))
+    out.append(lstm_p)
+    out += list(rebuild_chain(network.layers[i + 1:], tree[i + 1:], adv_ps))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------- kernel
+
+def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
+                 double_q: bool, lr: float, b1: float, b2: float,
+                 adam_eps: float, inv_bt: float):
+    import math as _math
+
+    n_pre, n_val, n_adv = len(plan.pre), len(plan.val), len(plan.adv)
+    # packed-tensor index map (matches pack_drqn order)
+    pre_base = 0
+    wi_base = pre_base + 2 * n_pre
+    wh_base = wi_base + 4
+    bg_base = wh_base + 4
+    val_base = bg_base + 4
+    adv_base = val_base + 2 * n_val
+    nt = adv_base + 2 * n_adv
+    A, A_p, Hp, Ip, Dp = plan.A, plan.A_p, plan.Hp, plan.lstm_in_p, plan.in_p
+    ln_b1, ln_b2 = _math.log(b1), _math.log(b2)
+
+    def kernel(*refs):
+        it = iter(refs)
+        count_ref = next(it)
+        obs_ref = next(it)
+        obs_sp_ref = next(it) if double_q else None
+        qsp_ref, act_ref, rew_ref, done_ref, mask_ref = (
+            next(it), next(it), next(it), next(it), next(it)
+        )
+        p_in = [next(it) for _ in range(nt)]
+        m_in = [next(it) for _ in range(nt)]
+        v_in = [next(it) for _ in range(nt)]
+        p_out = [next(it) for _ in range(nt)]
+        m_out = [next(it) for _ in range(nt)]
+        v_out = [next(it) for _ in range(nt)]
+        loss_ref, gnorm_ref = next(it), next(it)
+        p_s = [next(it) for _ in range(nt)]
+        m_s = [next(it) for _ in range(nt)]
+        v_s = [next(it) for _ in range(nt)]
+
+        u = pl.program_id(0)
+
+        @pl.when(u == 0)
+        def _():
+            for s, i in zip(p_s + m_s + v_s, p_in + m_in + v_in):
+                s[:] = i[:]
+
+        hi = jnp.float32  # accumulation dtype
+
+        def mm(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+            )
+
+        def dense_fwd(x, lps, base):
+            """Feature-major forward; returns post-act list (index 0 = x)."""
+            hs = [x]
+            for j, lp in enumerate(lps):
+                w = p_s[base + 2 * j][:]       # [dout_p, din_p]
+                b = p_s[base + 2 * j + 1][:]   # [dout_p, 1]
+                z = mm(w, hs[-1], ((1,), (0,))) + b
+                hs.append(_apply_act(z, lp.act))
+            return hs
+
+        def lstm_step(x, h, c):
+            zs = []
+            for g in range(4):
+                zs.append(
+                    mm(p_s[wi_base + g][:], x, ((1,), (0,)))
+                    + mm(p_s[wh_base + g][:], h, ((1,), (0,)))
+                    + p_s[bg_base + g][:]
+                )
+            i_g = jax.nn.sigmoid(zs[0])
+            f_g = jax.nn.sigmoid(zs[1])
+            g_g = jnp.tanh(zs[2])
+            o_g = jax.nn.sigmoid(zs[3])
+            c_new = f_g * c + i_g * g_g
+            tc = jnp.tanh(c_new)
+            h_new = o_g * tc
+            return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
+
+        rows_a = jax.lax.broadcasted_iota(jnp.int32, (A_p, Bp), 0)
+        amask = rows_a < A
+
+        def head_fwd(h):
+            """-> (q [A_p, Bp], adv_hs, val_hs)."""
+            adv_hs = dense_fwd(h, plan.adv, adv_base)
+            a_out = adv_hs[-1]
+            if plan.dueling:
+                val_hs = dense_fwd(h, plan.val, val_base)
+                # val head's real output is row 0; padded rows are exactly 0
+                v_row = jnp.sum(val_hs[-1], axis=0, keepdims=True)  # [1, Bp]
+                mean_a = jnp.sum(
+                    jnp.where(amask, a_out, 0.0), axis=0, keepdims=True
+                ) * (1.0 / A)
+                q = v_row + a_out - mean_a
+                return q, adv_hs, val_hs
+            return a_out, adv_hs, None
+
+        def row_of(ref, t):
+            """Timestep-t scalar row from a replicated-x8 packed field."""
+            return jnp.max(ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
+
+        # ---------------- forward over the trace --------------------------
+        zHB = jnp.zeros((Hp, Bp), jnp.float32)
+        h, c = zHB, zHB
+        h2, c2 = zHB, zHB  # online unroll over s' (double-Q)
+        hs, cs, gates_l, pre_l, head_l, gtd_l = [h], [c], [], [], [], []
+        loss_acc = jnp.float32(0.0)
+
+        for t in range(T):
+            x_t = obs_ref[t * Dp:(t + 1) * Dp, :]
+            pre_hs = dense_fwd(x_t, plan.pre, pre_base)
+            h, c, gates = lstm_step(pre_hs[-1], h, c)
+            hs.append(h)
+            cs.append(c)
+            gates_l.append(gates)
+            pre_l.append(pre_hs)
+            q_t, adv_hs, val_hs = head_fwd(h)
+            head_l.append((adv_hs, val_hs))
+
+            r_t = row_of(rew_ref, t)
+            d_t = row_of(done_ref, t)
+            mk_t = row_of(mask_ref, t)
+            a_t = jnp.max(act_ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
+
+            qsp_t = qsp_ref[t * A_p:(t + 1) * A_p, :]  # padded rows = -1e30
+            if double_q:
+                x2 = obs_sp_ref[t * Dp:(t + 1) * Dp, :]
+                pre2 = dense_fwd(x2, plan.pre, pre_base)
+                h2, c2, _ = lstm_step(pre2[-1], h2, c2)
+                q2, _, _ = head_fwd(h2)
+                q2m = jnp.where(amask, q2, -1e30)
+                mx = jnp.max(q2m, axis=0, keepdims=True)
+                # first-argmax tie-break, as jnp.argmax
+                bi = jnp.min(
+                    jnp.where(q2m >= mx, rows_a, jnp.int32(1 << 30)),
+                    axis=0, keepdims=True,
+                )
+                q_sp_max = jnp.sum(
+                    jnp.where(rows_a == bi, qsp_t, 0.0), axis=0, keepdims=True
+                )
+            else:
+                q_sp_max = jnp.max(qsp_t, axis=0, keepdims=True)
+
+            q_tgt = r_t + (1.0 - d_t) * gamma * q_sp_max        # [1, Bp]
+            q_sa = jnp.sum(
+                jnp.where(rows_a == a_t, q_t, 0.0), axis=0, keepdims=True
+            )
+            td = q_sa - q_tgt
+            xw = mk_t * td
+            absx = jnp.abs(xw)
+            quad = jnp.minimum(absx, 1.0)
+            loss_acc = loss_acc + jnp.sum(0.5 * quad * quad + (absx - quad))
+            # d loss / d td (mask^2 = mask)
+            gtd_l.append((mk_t * jnp.clip(xw, -1.0, 1.0) * inv_bt, a_t))
+
+        loss_ref[0, 0] = loss_acc * inv_bt
+
+        # ---------------- backward (BPTT) ---------------------------------
+        grads = [jnp.zeros(p_s[k].shape, jnp.float32) for k in range(nt)]
+
+        def dense_bwd(lps, base, hs_l, g_out):
+            """Backprop a dense stack; accumulates into ``grads``; returns
+            the gradient w.r.t. the stack input."""
+            dh = g_out
+            for j in reversed(range(len(lps))):
+                lp = lps[j]
+                dz = dh * _act_grad(hs_l[j + 1], lp.act)
+                grads[base + 2 * j] = grads[base + 2 * j] + mm(
+                    dz, hs_l[j], ((1,), (1,))
+                )  # [dout_p, din_p]
+                grads[base + 2 * j + 1] = grads[base + 2 * j + 1] + jnp.sum(
+                    dz, axis=1, keepdims=True
+                )
+                w = p_s[base + 2 * j][:]
+                dh = mm(w, dz, ((0,), (0,)))  # [din_p, Bp]
+            return dh
+
+        dh_carry, dc_carry = zHB, zHB
+        for t in reversed(range(T)):
+            g_td, a_t = gtd_l[t]
+            dq = jnp.where(rows_a == a_t, g_td, 0.0)  # [A_p, Bp]
+            adv_hs, val_hs = head_l[t]
+            if plan.dueling:
+                sum_dq = jnp.sum(dq, axis=0, keepdims=True)  # [1, Bp]
+                d_adv = jnp.where(amask, dq - sum_dq * (1.0 / A), 0.0)
+                vp = plan.val[-1].dout_p
+                rows_v = jax.lax.broadcasted_iota(jnp.int32, (vp, Bp), 0)
+                d_val = jnp.where(rows_v == 0, sum_dq, 0.0)
+                dh_head = dense_bwd(plan.val, val_base, val_hs, d_val)
+                dh_head = dh_head + dense_bwd(plan.adv, adv_base, adv_hs, d_adv)
+            else:
+                dh_head = dense_bwd(plan.adv, adv_base, adv_hs, dq)
+
+            dh_t = dh_head + dh_carry
+            i_g, f_g, g_g, o_g, tc = gates_l[t]
+            c_prev, h_prev = cs[t], hs[t]
+            do = dh_t * tc
+            dc = dc_carry + dh_t * o_g * (1.0 - tc * tc)
+            dzs = [
+                (dc * g_g) * i_g * (1.0 - i_g),       # i
+                (dc * c_prev) * f_g * (1.0 - f_g),    # f
+                (dc * i_g) * (1.0 - g_g * g_g),       # g
+                do * o_g * (1.0 - o_g),               # o
+            ]
+            dc_carry = dc * f_g
+            xL = pre_l[t][-1]
+            dh_carry = zHB
+            dxL = None
+            for g in range(4):
+                dz = dzs[g]
+                grads[wi_base + g] = grads[wi_base + g] + mm(dz, xL, ((1,), (1,)))
+                grads[wh_base + g] = grads[wh_base + g] + mm(dz, h_prev, ((1,), (1,)))
+                grads[bg_base + g] = grads[bg_base + g] + jnp.sum(
+                    dz, axis=1, keepdims=True
+                )
+                dh_carry = dh_carry + mm(p_s[wh_base + g][:], dz, ((0,), (0,)))
+                if n_pre:
+                    dxg = mm(p_s[wi_base + g][:], dz, ((0,), (0,)))
+                    dxL = dxg if dxL is None else dxL + dxg
+            if n_pre:
+                dense_bwd(plan.pre, pre_base, pre_l[t], dxL)
+
+        gn = jnp.float32(0.0)
+        for g in grads:
+            gn = jnp.maximum(gn, jnp.max(jnp.abs(g)))
+        gnorm_ref[0, 0] = gn
+
+        # ---------------- Adam (optax semantics) --------------------------
+        t_step = (count_ref[0, 0] + u + 1).astype(jnp.float32)
+        c1 = 1.0 / (1.0 - jnp.exp(t_step * ln_b1))
+        c2 = 1.0 / (1.0 - jnp.exp(t_step * ln_b2))
+        for k in range(nt):
+            g = grads[k]
+            mk = b1 * m_s[k][:] + (1.0 - b1) * g
+            vk = b2 * v_s[k][:] + (1.0 - b2) * (g * g)
+            m_s[k][:] = mk
+            v_s[k][:] = vk
+            p_s[k][:] = p_s[k][:] - lr * (mk * c1) / (jnp.sqrt(vk * c2) + adam_eps)
+
+        @pl.when(u == U - 1)
+        def _():
+            for o, s in zip(p_out + m_out + v_out, p_s + m_s + v_s):
+                o[:] = s[:]
+
+    return kernel, nt
+
+
+# ---------------------------------------------------------------- entry
+
+def fused_drqn_group_update(network, plan: DRQNPlan, params, m, v, count,
+                            obs, next_obs, action, reward, done, mask,
+                            q_sp_tgt, *, gamma: float, double_q: bool,
+                            lr: float, b1: float = 0.9, b2: float = 0.999,
+                            adam_eps: float = 1e-8, interpret: bool = False):
+    """Run U fused recurrent sub-updates.
+
+    Inputs (U sub-updates, B trace windows each, T = trace length):
+      obs/next_obs [U, B, T, *obs] f32; action [U, B, T] int32;
+      reward/done/mask [U, B, T] f32;
+      q_sp_tgt [U, B, T, A] f32 — target-net Q(s') from a zero-state unroll
+      (computed once outside; the target net is frozen within the step);
+      params/m/v — network pytrees; count — int32 Adam step counter.
+
+    Returns (params, m, v, count, loss, gnorm) — loss/gnorm are the final
+    sub-update's values (what the host logs), matching the XLA grouped path.
+    """
+    U, B, T = action.shape
+    Bp = _r128(B)
+    Dp, A, A_p = plan.in_p, plan.A, plan.A_p
+    D = plan.in_dim
+
+    def fm(x, d_real, d_pad, pad_value=0.0):
+        """[U, B, T, d] -> feature-major packed [U, T*d_pad, Bp]."""
+        x = jnp.transpose(x.reshape(U, B, T, d_real), (0, 2, 3, 1))
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, d_pad - d_real), (0, Bp - B)),
+            constant_values=pad_value,
+        )
+        return x.reshape(U, T * d_pad, Bp)
+
+    def scalar8(x, pad_value=0.0):
+        """[U, B, T] -> replicated-x8 packed [U, T*8, Bp]."""
+        x = jnp.transpose(x, (0, 2, 1))                   # [U, T, B]
+        x = jnp.broadcast_to(x[:, :, None, :], (U, T, 8, B))
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, Bp - B)), constant_values=pad_value
+        )
+        return x.reshape(U, T * 8, Bp).astype(
+            jnp.int32 if x.dtype == jnp.int32 else jnp.float32
+        )
+
+    obs_p = fm(obs.astype(jnp.float32), D, Dp)
+    obs_sp = fm(next_obs.astype(jnp.float32), D, Dp) if double_q else None
+    # pad action rows with -1e30 first (so the plain max never picks a padded
+    # action row), then batch lanes with 0.0 (benign: masked out by mask=0)
+    q_p = jnp.transpose(q_sp_tgt.astype(jnp.float32), (0, 2, 3, 1))  # [U,T,A,B]
+    q_p = jnp.pad(q_p, ((0, 0), (0, 0), (0, A_p - A), (0, 0)),
+                  constant_values=-1e30)
+    q_p = jnp.pad(q_p, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+    q_p = q_p.reshape(U, T * A_p, Bp)
+    act_p = scalar8(action.astype(jnp.int32))
+    rew_p = scalar8(reward)
+    done_p = scalar8(done, 1.0)
+    mask_p = scalar8(mask, 0.0)  # padded lanes contribute nothing
+
+    p_list = pack_drqn(network, params, plan)
+    m_list = pack_drqn(network, m, plan)
+    v_list = pack_drqn(network, v, plan)
+    count2d = count.reshape(1, 1).astype(jnp.int32)
+
+    kernel, nt = _make_kernel(
+        plan, U, T, Bp, gamma, double_q, lr, b1, b2, adam_eps,
+        1.0 / (B * T),
+    )
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda u: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_u = lambda r: pl.BlockSpec(
+        (None, r, Bp), lambda u: (u, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem11 = pl.BlockSpec((1, 1), lambda u: (0, 0), memory_space=pltpu.SMEM)
+
+    tensor_specs = [full(t.shape) for t in p_list]
+    obs_specs = [per_u(T * Dp)] * (2 if double_q else 1)
+    in_specs = (
+        [smem11] + obs_specs
+        + [per_u(T * A_p), per_u(T * 8), per_u(T * 8), per_u(T * 8),
+           per_u(T * 8)]
+        + tensor_specs * 3
+    )
+    out_specs = tensor_specs * 3 + [smem11, smem11]
+    out_shape = (
+        [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in p_list] * 3
+        + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2
+    )
+    scratch = [pltpu.VMEM(t.shape, jnp.float32) for t in p_list] * 3
+
+    obs_args = (obs_p, obs_sp) if double_q else (obs_p,)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(U,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(count2d, *obs_args, q_p, act_p, rew_p, done_p, mask_p,
+      *p_list, *m_list, *v_list)
+
+    p_new = unpack_drqn(network, params, plan, outs[:nt])
+    m_new = unpack_drqn(network, m, plan, outs[nt: 2 * nt])
+    v_new = unpack_drqn(network, v, plan, outs[2 * nt: 3 * nt])
+    loss = outs[3 * nt][0, 0]
+    gnorm = outs[3 * nt + 1][0, 0]
+    return p_new, m_new, v_new, count + U, loss, gnorm

@@ -148,21 +148,27 @@ class DeepQLearningSolver:
         params = network.init(k_init)
         target_params = params
 
-        if hasattr(self.exploration_policy, "eps"):
-            eps_fn = self.exploration_policy.eps
-        elif isinstance(self.exploration_policy,
-                        (LinearDecaySchedule, ConstantEpsilon)):
-            eps_fn = self.exploration_policy
+        ep = self.exploration_policy
+        select_fn = ep.select if hasattr(ep, "select") else None
+        if hasattr(ep, "eps"):
+            eps_fn = ep.eps
+        elif isinstance(ep, (LinearDecaySchedule, ConstantEpsilon)):
+            eps_fn = ep
+        elif select_fn is not None:
+            # custom strategy without an ε schedule: log ε as 0
+            eps_fn = lambda t: jnp.asarray(0.0, jnp.float32)
         else:
             raise TypeError(
                 "the jitted vectorized path needs a schedule-based "
                 "exploration policy (EpsGreedyPolicy / LinearDecaySchedule / "
-                "ConstantEpsilon); function-valued strategies "
+                "ConstantEpsilon) or a VectorizedStrategy with the "
+                "jit-traceable select(q_values, t, key) -> (actions, eps) "
+                "protocol; bare function-valued strategies "
                 "f(policy, env, obs, t, rng) are supported on the HostEnv "
                 "path (src/exploration_policy.jl:10-12 parity)"
             )
         iteration, populate_step, optimizer = build_loop(
-            env, network, buffer, cfg, eps_fn, gamma
+            env, network, buffer, cfg, eps_fn, gamma, select_fn=select_fn
         )
         opt_state = optimizer.init(params)
 

@@ -23,17 +23,37 @@ def main():
     import jax
 
     from deepqlearning_tpu.parallel.multihost import (
-        global_data_mesh,
+        hybrid_mesh,
         initialize_multihost,
         local_shard_info,
+        pod_data_mesh,
+        pod_shard_plan,
     )
 
     initialize_multihost(coordinator, nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
-    mesh = global_data_mesh()
+    # pod-shaped meshes: the 2-D (DCN x ICI) mesh has one row per process
+    # with that process's devices ICI-contiguous; the flat data mesh is its
+    # ICI-major flattening (so the all-reduce is hierarchical on real pods)
+    hm = hybrid_mesh()
+    assert hm.devices.shape == (nproc, jax.local_device_count()), hm.devices.shape
+    for row in range(nproc):
+        owners = {d.process_index for d in hm.devices[row]}
+        assert len(owners) == 1, owners  # each row = one process's chips
+    mesh = pod_data_mesh()
     n_local, n_global, my_pid = local_shard_info(mesh)
     assert n_global == n_local * nproc, (n_local, n_global)
     assert my_pid == pid
+    # per-process shard arithmetic
+    plan = pod_shard_plan(global_num_envs=16, batch_size=8, mesh=mesh)
+    assert plan.envs_per_device == 16 // n_global
+    assert plan.local_envs == plan.envs_per_device * n_local
+    assert plan.process_count == nproc
+    try:
+        pod_shard_plan(global_num_envs=n_global + 1, batch_size=8, mesh=mesh)
+        raise AssertionError("indivisible env count must be rejected")
+    except ValueError:
+        pass
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -75,6 +75,28 @@ def test_dp_env_steps_advance():
     assert (t == t[0]).all() and t[0] == 5 * runner.cfg.env_steps_per_iter
 
 
+def test_pod_mesh_helpers_single_process():
+    # single-process degrade: hybrid mesh is 1 x N, flat mesh covers all
+    # devices, shard plan arithmetic checks out
+    from deepqlearning_tpu.parallel.multihost import (
+        hybrid_mesh,
+        pod_data_mesh,
+        pod_shard_plan,
+    )
+
+    hm = hybrid_mesh()
+    assert hm.devices.shape == (1, len(jax.devices()))
+    assert hm.axis_names == ("dcn", "ici")
+    flat = pod_data_mesh()
+    assert flat.devices.size == len(jax.devices())
+    plan = pod_shard_plan(global_num_envs=32, batch_size=8, mesh=flat)
+    assert plan.envs_per_device * plan.global_devices == 32
+    assert plan.local_envs == 32  # single process owns everything
+    with pytest.raises(ValueError, match="divisible"):
+        pod_shard_plan(global_num_envs=flat.devices.size + 1, batch_size=8,
+                       mesh=flat)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

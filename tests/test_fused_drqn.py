@@ -1,0 +1,177 @@
+"""Equivalence tests for the fused recurrent (DRQN) Pallas kernel.
+
+The fused kernel (``ops/pallas/fused_drqn.py``) must reproduce the grouped
+XLA recurrent path (``make_grouped_drqn_train_step``) — same window draw,
+same zero-state unrolls, same masked time-summed Huber loss
+(``src/solver.jl:258-282``), same U sequential Adam sub-updates. Runs in
+interpreter mode on the CPU test backend; real-Mosaic compilation is covered
+by tests_tpu/test_drqn_kernels_tpu.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqlearning_tpu import Chain, Dense, Flatten, create_dueling_network
+from deepqlearning_tpu.models.chain import GRU, LSTM
+from deepqlearning_tpu.learner.train_step import (
+    make_fused_grouped_drqn_train_step,
+    make_grouped_drqn_train_step,
+)
+from deepqlearning_tpu.ops.pallas.fused_drqn import drqn_plan_for
+from deepqlearning_tpu.replay.episode import EpisodeReplayBuffer
+
+
+def _filled_episode_buffer(obs_dim, B, T, key, num_envs=8, steps=40):
+    """Stream random lockstep transitions; episodes end randomly."""
+    from deepqlearning_tpu.replay.transition import TransitionBatch
+
+    buf = EpisodeReplayBuffer(
+        (obs_dim,), max_size=64, batch_size=B, trace_length=T,
+        max_episode_length=16, num_envs=num_envs,
+    )
+    st = buf.init()
+    for i in range(steps):
+        ks = jax.random.split(jax.random.fold_in(key, i), 5)
+        done = (jax.random.uniform(ks[4], (num_envs,)) < 0.25).astype(
+            jnp.float32
+        )
+        tr = TransitionBatch(
+            obs=jax.random.normal(ks[0], (num_envs, obs_dim)),
+            action=jax.random.randint(ks[1], (num_envs,), 0, 4),
+            reward=jax.random.normal(ks[2], (num_envs,)),
+            next_obs=jax.random.normal(ks[3], (num_envs, obs_dim)),
+            done=done,
+        )
+        st = buf.add_step(st, tr, done.astype(bool))
+    return buf, buf.reset_in_progress(st)
+
+
+def _assert_tree_close(a, b, rtol=2e-4, atol=2e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def _nets(obs_dim, A, kind):
+    if kind == "plain":
+        return Chain(LSTM(obs_dim, 12), Dense(12, A))
+    if kind == "deep":
+        return Chain(Flatten(), Dense(obs_dim, 10, jnp.tanh),
+                     LSTM(10, 12), Dense(12, 8, jax.nn.relu), Dense(8, A))
+    if kind == "dueling":
+        return create_dueling_network(
+            Chain(LSTM(obs_dim, 12), Dense(12, 8, jnp.tanh), Dense(8, A))
+        )
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("double_q", [True, False])
+@pytest.mark.parametrize("kind", ["plain", "deep", "dueling"])
+def test_fused_drqn_matches_grouped_xla_path(kind, double_q):
+    obs_dim, A, B, T, U = 5, 4, 8, 6, 3
+    net = _nets(obs_dim, A, kind)
+    assert drqn_plan_for(net, T, B, double_q) is not None
+    buf, st = _filled_episode_buffer(obs_dim, B, T, jax.random.PRNGKey(0))
+
+    params = net.init(jax.random.PRNGKey(1))
+    ref_step, ref_opt = make_grouped_drqn_train_step(
+        net, buf, 0.95, double_q, 1e-2, U
+    )
+    fus_step, fus_opt = make_fused_grouped_drqn_train_step(
+        net, buf, 0.95, double_q, 1e-2, U, interpret=True
+    )
+    ro, fo = ref_opt.init(params), fus_opt.init(params)
+    rp, fp = params, params
+    # two grouped invocations so Adam bias correction past t=U is covered
+    for i in range(2):
+        k = jax.random.PRNGKey(10 + i)
+        rres = ref_step(rp, params, ro, st, k)
+        fres = fus_step(fp, params, fo, st, k)
+        rp, ro = rres.params, rres.opt_state
+        fp, fo = fres.params, fres.opt_state
+        np.testing.assert_allclose(float(rres.loss), float(fres.loss),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(float(rres.grad_norm),
+                                   float(fres.grad_norm), rtol=1e-3,
+                                   atol=1e-6)
+    # param equality after 2 grouped invocations (2*U Adam steps) transitively
+    # pins the moments too — a moment mismatch would compound into params
+    _assert_tree_close(rp, fp)
+
+
+def test_fused_drqn_single_update_equals_unfused():
+    # U=1: fused must equal one make_drqn_train_step call bit-for-... closely
+    from deepqlearning_tpu.learner.train_step import make_drqn_train_step
+
+    obs_dim, A, B, T = 3, 4, 8, 5
+    net = _nets(obs_dim, A, "plain")
+    buf, st = _filled_episode_buffer(obs_dim, B, T, jax.random.PRNGKey(2))
+    params = net.init(jax.random.PRNGKey(3))
+    ref_step, ref_opt = make_drqn_train_step(net, buf, 0.9, True, 5e-3)
+    fus_step, fus_opt = make_fused_grouped_drqn_train_step(
+        net, buf, 0.9, True, 5e-3, 1, interpret=True
+    )
+    k = jax.random.PRNGKey(4)
+    r = ref_step(params, params, ref_opt.init(params), st, k)
+    f = fus_step(params, params, fus_opt.init(params), st, k)
+    np.testing.assert_allclose(float(r.loss), float(f.loss), rtol=1e-5)
+    _assert_tree_close(r.params, f.params)
+
+
+def test_drqn_plan_rejections():
+    # GRU, multi-LSTM, and feed-forward chains fall back to the XLA path
+    assert drqn_plan_for(Chain(GRU(3, 8), Dense(8, 2)), 8, 8) is None
+    assert drqn_plan_for(
+        Chain(LSTM(3, 8), LSTM(8, 8), Dense(8, 2)), 8, 8
+    ) is None
+    assert drqn_plan_for(Chain(Dense(3, 8), Dense(8, 2)), 8, 8) is None
+    # oversized working set refused (VMEM budget)
+    assert drqn_plan_for(
+        Chain(LSTM(512, 512), Dense(512, 4)), 64, 1024
+    ) is None
+    # supported shapes accepted
+    assert drqn_plan_for(Chain(LSTM(3, 8), Dense(8, 2)), 8, 8) is not None
+
+
+def test_loop_uses_fused_drqn_when_forced():
+    # build_loop honors fused_updates=True on the recurrent path (interpret
+    # mode on CPU) and the resulting loop still trains
+    from deepqlearning_tpu import DQNConfig, SimpleGridWorld
+    from deepqlearning_tpu.learner.actor import init_actor
+    from deepqlearning_tpu.learner.loop import LoopCarry, build_loop
+    from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
+
+    env = SimpleGridWorld()
+    net = Chain(LSTM(2, 8), Dense(8, env.num_actions))
+    cfg = DQNConfig(num_envs=64, batch_size=8, buffer_size=64,
+                    train_freq=64, trace_length=4, max_episode_length=10,
+                    recurrence=True, double_q=True, fused_updates=True)
+    buf = EpisodeReplayBuffer(env.obs_shape, cfg.buffer_size, cfg.batch_size,
+                              cfg.trace_length, cfg.max_episode_length,
+                              num_envs=cfg.num_envs)
+    iteration, populate_step, optimizer = build_loop(
+        env, net, buf, cfg, LinearDecaySchedule(1.0, 0.1, 1000),
+        gamma=env.discount,
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    actor = init_actor(env, net, cfg.num_envs, jax.random.PRNGKey(1))
+    replay = buf.init()
+    carry = LoopCarry(actor, replay, params, params,
+                      optimizer.init(params), jax.random.PRNGKey(2),
+                      jnp.asarray(0.0), jnp.asarray(0.0),
+                      jnp.asarray(0, jnp.int32))
+    # populate enough steps for every env to commit an episode
+    cc = (carry.actor, carry.replay, carry.params)
+    for _ in range(cfg.max_episode_length + 1):
+        cc, _ = populate_step(cc, None)
+    carry = carry._replace(actor=cc[0], replay=buf.reset_in_progress(cc[1]))
+    carry, _ = jax.jit(iteration)(carry, None)
+    assert np.isfinite(float(carry.loss))
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(carry.params))
+    )
+    assert moved

@@ -112,3 +112,120 @@ def test_plan_for_rejects_unsupported():
     assert plan_for(Chain(Dense(4, 8, jnp.tanh), LSTM(8, 8), Dense(8, 2))) is None
     assert plan_for(Chain(Dense(4, 8, jnp.sin), Dense(8, 2))) is None  # act
     assert plan_for("not a network") is None
+
+
+@pytest.mark.parametrize("double_q", [True, False])
+@pytest.mark.parametrize("dueling", [True, False])
+def test_fused_grads_match_jax_grad(dueling, double_q):
+    """The grads-emitting kernel (DP composition path) must agree with
+    jax.grad of the reference loss — the tight contract that pins the
+    hand-derived backward exactly (VERDICT r2 next #3/#4)."""
+    from deepqlearning_tpu.ops.helpers import huber_loss
+    from deepqlearning_tpu.ops.pallas.fused_update import fused_grads
+
+    obs_dim, A, B = 5, 4, 16
+    gamma, alpha, eps = 0.95, 0.6, 1e-3
+    chain = Chain(Flatten(), Dense(obs_dim, 16, jnp.tanh),
+                  Dense(16, 16, jax.nn.relu), Dense(16, A))
+    net = create_dueling_network(chain) if dueling else chain
+    plan = plan_for(net)
+    assert plan is not None
+    params = net.init(jax.random.PRNGKey(1))
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    obs = jax.random.normal(ks[0], (B, obs_dim))
+    nobs = jax.random.normal(ks[1], (B, obs_dim))
+    action = jax.random.randint(ks[2], (B,), 0, A)
+    reward = jax.random.normal(ks[3], (B,))
+    done = (jax.random.uniform(ks[4], (B,)) < 0.2).astype(jnp.float32)
+    weights = jax.random.uniform(ks[5], (B,), minval=0.5, maxval=1.5)
+    q_sp_tgt, _ = net.apply(params, nobs)  # any values work as the target
+
+    def xla_loss(p):
+        q, _ = net.apply(p, obs)
+        if double_q:
+            q_sp_onl, _ = net.apply(p, nobs)
+            best = jnp.argmax(jax.lax.stop_gradient(q_sp_onl), axis=-1)
+            q_sp_max = jnp.take_along_axis(
+                q_sp_tgt, best[:, None], axis=-1
+            )[:, 0]
+        else:
+            q_sp_max = jnp.max(q_sp_tgt, axis=-1)
+        q_targets = reward + (1.0 - done) * gamma * q_sp_max
+        q_sa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+        td = q_sa - q_targets
+        return jnp.sum(huber_loss(weights * td)) / B, td
+
+    (ref_loss, ref_td), ref_grads = jax.value_and_grad(
+        xla_loss, has_aux=True
+    )(params)
+    grads, td, prio, loss, gnorm = fused_grads(
+        net, plan, params, obs, nobs, action, reward, done, weights,
+        q_sp_tgt, gamma=gamma, double_q=double_q, alpha=alpha, eps=eps,
+        interpret=True,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(ref_td),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(prio), (np.abs(np.asarray(ref_td)) + eps) ** alpha,
+        rtol=1e-5,
+    )
+    _tree_close(ref_grads, grads, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_dp_step_matches_grouped_xla_dp():
+    """The DP fused step (grads kernel + XLA pmean/Adam) must equal the
+    grouped XLA DP path on a simulated mesh."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from deepqlearning_tpu.learner.train_step import (
+        make_fused_dp_train_step,
+        make_grouped_dqn_train_step,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs simulated devices")
+    D, obs_dim, A, B, U = 4, 5, 4, 8, 2
+    chain = Chain(Flatten(), Dense(obs_dim, 16, jnp.tanh), Dense(16, A))
+    net = create_dueling_network(chain)
+    buf, st = _filled_buffer(obs_dim, 64, B, jax.random.PRNGKey(0))
+    params = net.init(jax.random.PRNGKey(1))
+
+    ref_step, ref_opt = make_grouped_dqn_train_step(
+        net, buf, 0.95, True, 1e-2, U, axis_name="d", use_pallas=False)
+    fus_step, fus_opt = make_fused_dp_train_step(
+        net, buf, 0.95, True, 1e-2, U, axis_name="d", interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("d",))
+    # replicate params/opt, shard replay+key per device
+    stack = lambda x: jnp.broadcast_to(x, (D,) + x.shape)
+    st_d = jax.tree_util.tree_map(stack, st)
+    keys = jax.random.split(jax.random.PRNGKey(7), D)
+
+    def run(step_fn, opt):
+        o = opt.init(params)
+
+        # check_vma off: interpret-mode pallas does not propagate varying
+        # axes (JAX suggests this workaround); the real runner (mesh.py)
+        # runs with check_vma=False for the same reason
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), P("d"), P("d")),
+                 out_specs=P("d"), check_vma=False)
+        def one(p, tp, o, s, k):
+            s = jax.tree_util.tree_map(lambda x: x[0], s)
+            res = step_fn(p, tp, o, s, k[0])
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[None], res.params
+            )
+
+        return one(params, params, o, st_d, keys)
+
+    rp = run(ref_step, ref_opt)
+    fp = run(fus_step, fus_opt)
+    _tree_close(rp, fp, rtol=1e-4, atol=1e-6)
+    # replication preserved: every device applied the same pmean'd update
+    leaf = jax.tree_util.tree_leaves(fp)[0]
+    np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(leaf[-1]),
+                               rtol=1e-6)

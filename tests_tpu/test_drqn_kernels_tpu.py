@@ -1,0 +1,136 @@
+"""Compile + equivalence-check the fused DRQN kernel ON THE REAL TPU at the
+exact bench shape (U=4, B=512, LSTM-32, trace 8, double-Q) plus the variants
+that differ structurally (dueling heads, pre-LSTM dense, single-Q, U=1).
+
+Interpret-mode equivalence is proven in tests/test_fused_drqn.py; THIS lane
+proves Mosaic can compile the kernel — the two failure modes are disjoint
+(round 1 shipped an interpret-green kernel that SIGABRTed the chip).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqlearning_tpu import Chain, Dense, Flatten, create_dueling_network
+from deepqlearning_tpu.models.chain import LSTM
+from deepqlearning_tpu.learner.train_step import (
+    make_drqn_train_step,
+    make_fused_grouped_drqn_train_step,
+    make_grouped_drqn_train_step,
+)
+from deepqlearning_tpu.ops.pallas.fused_drqn import drqn_plan_for
+from deepqlearning_tpu.replay.episode import EpisodeReplayBuffer
+from deepqlearning_tpu.replay.transition import TransitionBatch
+
+
+def _filled_episode_buffer(obs_dim, B, T, key, num_envs=64, steps=40):
+    buf = EpisodeReplayBuffer(
+        (obs_dim,), max_size=256, batch_size=B, trace_length=T,
+        max_episode_length=16, num_envs=num_envs,
+    )
+    st = buf.init()
+
+    @jax.jit
+    def fill(st, key):
+        def body(st, k):
+            ks = jax.random.split(k, 5)
+            done = (jax.random.uniform(ks[4], (num_envs,)) < 0.25).astype(
+                jnp.float32
+            )
+            tr = TransitionBatch(
+                obs=jax.random.normal(ks[0], (num_envs, obs_dim)),
+                action=jax.random.randint(ks[1], (num_envs,), 0, 4),
+                reward=jax.random.normal(ks[2], (num_envs,)),
+                next_obs=jax.random.normal(ks[3], (num_envs, obs_dim)),
+                done=done,
+            )
+            return buf.add_step(st, tr, done.astype(bool)), None
+
+        st, _ = jax.lax.scan(body, st, jax.random.split(key, steps))
+        return st
+
+    return buf, buf.reset_in_progress(fill(st, key))
+
+
+def _params_mostly_close(a, b, atol, max_abs, max_frac=0.02):
+    """Bulk-distribution agreement (see test_kernels_tpu.py for rationale:
+    on-device the Mosaic and XLA paths live in different precision domains;
+    Adam sign-flips on ulp-level gradient ties legitimately move isolated
+    weights by O(lr))."""
+    la = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(a)])
+    lb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(b)])
+    diff = np.abs(la - lb)
+    frac = float((diff > atol).mean())
+    assert frac <= max_frac, (
+        f"{frac:.2%} of params differ by more than {atol} "
+        f"(max diff {diff.max():.3e})"
+    )
+    assert diff.max() <= max_abs, f"max param diff {diff.max():.3e}"
+
+
+def _nets(obs_dim, A, kind, H=32):
+    if kind == "plain":
+        return Chain(LSTM(obs_dim, H), Dense(H, A))
+    if kind == "deep":
+        return Chain(Flatten(), Dense(obs_dim, 16, jnp.tanh),
+                     LSTM(16, H), Dense(H, 16, jax.nn.relu), Dense(16, A))
+    if kind == "dueling":
+        return create_dueling_network(
+            Chain(LSTM(obs_dim, H), Dense(H, 32, jnp.tanh), Dense(32, A))
+        )
+    raise ValueError(kind)
+
+
+# bench shape first (obs_dim=2, A=4, B=512, T=8, U=4, LSTM-32, double-Q),
+# then the structural variants
+CASES = [
+    # (obs_dim, A, B, T, U, kind, double_q)
+    (2, 4, 512, 8, 4, "plain", True),     # exact bench config
+    (2, 4, 512, 8, 4, "dueling", True),   # dueling heads
+    (5, 6, 128, 8, 4, "deep", True),      # pre-LSTM dense, A != 4
+    (2, 4, 512, 8, 4, "plain", False),    # single-Q
+    (2, 4, 256, 10, 2, "plain", True),    # off-bench sizes
+]
+
+
+@pytest.mark.parametrize("obs_dim,A,B,T,U,kind,double_q", CASES)
+def test_fused_drqn_compiles_and_matches_on_tpu(obs_dim, A, B, T, U, kind,
+                                                double_q):
+    net = _nets(obs_dim, A, kind)
+    assert drqn_plan_for(net, T, B, double_q) is not None
+    buf, st = _filled_episode_buffer(obs_dim, B, T, jax.random.PRNGKey(0))
+    params = net.init(jax.random.PRNGKey(1))
+
+    ref_step, ref_opt = make_grouped_drqn_train_step(
+        net, buf, 0.95, double_q, 1e-2, U)
+    fus_step, fus_opt = make_fused_grouped_drqn_train_step(
+        net, buf, 0.95, double_q, 1e-2, U, interpret=False)  # REAL Mosaic
+
+    k = jax.random.PRNGKey(7)
+    rres = jax.jit(ref_step)(params, params, ref_opt.init(params), st, k)
+    fres = jax.jit(fus_step)(params, params, fus_opt.init(params), st, k)
+    np.testing.assert_allclose(float(rres.loss), float(fres.loss), rtol=2e-2)
+    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=5e-2)
+
+
+def test_fused_drqn_single_update_tight_on_tpu():
+    """U=1, single-Q, small lr: no Adam compounding, no argmax ties — loss
+    and parameters must agree tightly on the device. The on-device MATH
+    check; the parametrized cases above are compile + bulk checks."""
+    obs_dim, A, B, T = 2, 4, 512, 8
+    net = _nets(obs_dim, A, "plain")
+    buf, st = _filled_episode_buffer(obs_dim, B, T, jax.random.PRNGKey(4))
+    params = net.init(jax.random.PRNGKey(5))
+    ref_step, ref_opt = make_drqn_train_step(net, buf, 0.95, False, 1e-4)
+    fus_step, fus_opt = make_fused_grouped_drqn_train_step(
+        net, buf, 0.95, False, 1e-4, 1, interpret=False)
+    k = jax.random.PRNGKey(9)
+    r = jax.jit(ref_step)(params, params, ref_opt.init(params), st, k)
+    f = jax.jit(fus_step)(params, params, fus_opt.init(params), st, k)
+    np.testing.assert_allclose(float(r.loss), float(f.loss), rtol=1e-3)
+    for x, y in zip(jax.tree_util.tree_leaves(r.params),
+                    jax.tree_util.tree_leaves(f.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-5)

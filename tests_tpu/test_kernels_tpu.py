@@ -144,6 +144,61 @@ def test_fused_first_update_td_matches_tight_on_tpu():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("double_q", [True, False])
+def test_fused_grads_tight_on_tpu(double_q):
+    """TIGHT on-device backward contract (VERDICT r2 next #4): the
+    grads-emitting kernel must match jax.grad of the reference loss at
+    allclose level for the dueling backward and the double-Q path — a
+    dueling-backward bug of one column fails this, unlike the bulk checks
+    above. Gradients are compared directly (no Adam, no compounding); the
+    random-normal batch has no argmax ties at f32."""
+    from deepqlearning_tpu.ops.helpers import huber_loss
+    from deepqlearning_tpu.ops.pallas.fused_update import fused_grads
+
+    obs_dim, A, B = 2, 4, 512
+    gamma, alpha, eps = 0.95, 0.6, 1e-3
+    net = create_dueling_network(Chain(
+        Flatten(), Dense(obs_dim, 64, jnp.tanh), Dense(64, 64, jnp.tanh),
+        Dense(64, A)))
+    plan = plan_for(net)
+    params = net.init(jax.random.PRNGKey(1))
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    obs = jax.random.normal(ks[0], (B, obs_dim))
+    nobs = jax.random.normal(ks[1], (B, obs_dim))
+    action = jax.random.randint(ks[2], (B,), 0, A)
+    reward = jax.random.normal(ks[3], (B,))
+    done = (jax.random.uniform(ks[4], (B,)) < 0.2).astype(jnp.float32)
+    weights = jax.random.uniform(ks[5], (B,), minval=0.5, maxval=1.5)
+    q_sp_tgt, _ = net.apply(params, nobs)
+
+    def xla_loss(p):
+        q, _ = net.apply(p, obs)
+        if double_q:
+            q_sp_onl, _ = net.apply(p, nobs)
+            best = jnp.argmax(jax.lax.stop_gradient(q_sp_onl), axis=-1)
+            q_sp_max = jnp.take_along_axis(q_sp_tgt, best[:, None], -1)[:, 0]
+        else:
+            q_sp_max = jnp.max(q_sp_tgt, axis=-1)
+        q_targets = reward + (1.0 - done) * gamma * q_sp_max
+        q_sa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+        return jnp.sum(huber_loss(weights * (q_sa - q_targets))) / B
+
+    ref_grads = jax.jit(jax.grad(xla_loss))(params)
+    grads, td, prio, loss, gnorm = jax.jit(
+        lambda p: fused_grads(
+            net, plan, p, obs, nobs, action, reward, done, weights,
+            q_sp_tgt, gamma=gamma, double_q=double_q, alpha=alpha, eps=eps,
+            interpret=False,  # REAL Mosaic
+        )
+    )(params)
+    np.testing.assert_allclose(float(loss), float(jax.jit(xla_loss)(params)),
+                               rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(ref_grads),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_plan_rejects_wide_dueling_heads():
     # A > 128 pads the heads to different widths; the dueling backward only
     # supports equal padding (ADVICE r1 medium) — plan must refuse
