@@ -202,11 +202,18 @@ class Conv2D:
         return {"w": w, "b": jnp.zeros((self.out_channels,), dtype)}
 
     def apply(self, params, x):
+        # low-precision inputs keep the conv OUTPUT in the input dtype: the
+        # TPU MXU accumulates bf16 convs in f32 internally regardless, and a
+        # forced f32 output breaks the backward (the transpose-conv cotangent
+        # arrives f32 while w is bf16, and lax.conv rejects mixed dtypes)
+        pet = jnp.float32 if x.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
-            x, params["w"], window_strides=self.stride, padding=self.padding,
+            x, params["w"].astype(x.dtype), window_strides=self.stride,
+            padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ) + params["b"].astype(jnp.float32)
+            preferred_element_type=pet,
+        )
+        y = y.astype(jnp.float32) + params["b"].astype(jnp.float32)
         if self.activation is not None:
             y = self.activation(y)
         return y.astype(x.dtype)

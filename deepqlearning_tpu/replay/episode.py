@@ -5,12 +5,17 @@ The reference stores whole variable-length episodes and cuts random
 ``trace_length`` windows at sample time (``src/episode_replay.jl``). A naive
 static-shape port (per-env accumulator rows + row scatters on commit) costs
 milliseconds per step on TPU — scatters serialize. Instead, transitions
-stream into a per-env **time ring** ``[E, R, ...]``: every lockstep step
-writes one column ``t % R`` for all envs — a single ``dynamic_update_slice``
-DMA per field — and episodes are just ``(start, length)`` records in a small
-per-env index ring, written with an E-element scalar scatter only when
-episodes end. Windows are gathered at sample time (sampling is gather-bound
-anyway). This is the R2D2-style sequence-replay layout.
+stream into a **time-major ring** ``[R, E, ...]``: every lockstep step
+writes row ``t % R`` for all envs — and because the time axis is MAJOR, that
+row is one contiguous slab regardless of which layout XLA picks for the
+sample-time gathers. (Round 3 traced the env-major ``[E, R]`` variant on a
+real chip: the window gather made XLA lay the ring out R-minor, turning the
+per-step column write into 16K scattered 4-byte stores at 1.6 ms per field —
+3.2 ms of a 5.1 ms iteration. Time-major makes the write layout-proof.)
+Episodes are just ``(start, length)`` records in a small per-env index ring,
+written with an E-element scalar scatter only when episodes end. Windows are
+gathered at sample time (sampling is gather-bound anyway). This is the
+R2D2-style sequence-replay layout.
 
 Window semantics match ``src/episode_replay.jl:71-95``: uniform episode,
 random start offset, zero-padded ``trace_length`` window with a validity
@@ -40,12 +45,12 @@ class EpisodeBatch(NamedTuple):
 
 
 class EpisodeReplayState(NamedTuple):
-    # streamed transitions, one time ring per env
-    obs: jnp.ndarray       # [E, R, *obs_shape]
-    action: jnp.ndarray    # [E, R] int32
-    reward: jnp.ndarray    # [E, R] float32
-    next_obs: jnp.ndarray  # [E, R, *obs_shape]
-    done: jnp.ndarray      # [E, R] float32
+    # streamed transitions, time-major rings (see module docstring)
+    obs: jnp.ndarray       # [R, E, *obs_shape]
+    action: jnp.ndarray    # [R, E] int32
+    reward: jnp.ndarray    # [R, E] float32
+    next_obs: jnp.ndarray  # [R, E, *obs_shape]
+    done: jnp.ndarray      # [R, E] float32
     # episode index: per-env ring of (start, length) records
     ep_start: jnp.ndarray  # [E, M] int32 — global step of episode start
     ep_len: jnp.ndarray    # [E, M] int32
@@ -121,11 +126,11 @@ class EpisodeReplayBuffer:
         E, R, M = self.num_envs, self.ring, self.records_per_env
         oshape, dt = self.obs_shape, self.obs_dtype
         return EpisodeReplayState(
-            obs=jnp.zeros((E, R) + oshape, dt),
-            action=jnp.zeros((E, R), jnp.int32),
-            reward=jnp.zeros((E, R), jnp.float32),
-            next_obs=jnp.zeros((E, R) + oshape, dt),
-            done=jnp.zeros((E, R), jnp.float32),
+            obs=jnp.zeros((R, E) + oshape, dt),
+            action=jnp.zeros((R, E), jnp.int32),
+            reward=jnp.zeros((R, E), jnp.float32),
+            next_obs=jnp.zeros((R, E) + oshape, dt),
+            done=jnp.zeros((R, E), jnp.float32),
             ep_start=jnp.zeros((E, M), jnp.int32),
             ep_len=jnp.zeros((E, M), jnp.int32),
             rec_count=jnp.zeros((E,), jnp.int32),
@@ -146,10 +151,10 @@ class EpisodeReplayBuffer:
         k = state.t % R
 
         def put(buf, val):
+            # row k of the time-major ring: one contiguous [1, E, ...] slab
             return jax.lax.dynamic_update_slice(
-                buf, val[:, None].astype(buf.dtype),
-                (jnp.asarray(0, jnp.int32), k) + (jnp.asarray(0, jnp.int32),)
-                * (buf.ndim - 2),
+                buf, val[None].astype(buf.dtype),
+                (k,) + (jnp.asarray(0, jnp.int32),) * (buf.ndim - 1),
             )
 
         obs = put(state.obs, batch.obs)
@@ -230,12 +235,12 @@ class EpisodeReplayBuffer:
         u = jax.random.randint(k_start, (B,), 0, jnp.asarray(1 << 30)) % length
         offs = u[:, None] + jnp.arange(T)[None, :]          # [B, T]
         valid = offs < length[:, None]
-        cols = (start[:, None] + offs) % R
-        rows = env[:, None]
+        trow = (start[:, None] + offs) % R                   # time index [B, T]
+        ecol = env[:, None]                                  # env index  [B, 1]
         mask = valid.astype(jnp.float32)
 
         def window(field):
-            g = field[rows, cols]
+            g = field[trow, ecol]
             if field.dtype == jnp.int32:
                 return jnp.where(valid, g, 0)
             m = mask.reshape(mask.shape + (1,) * (g.ndim - 2)).astype(g.dtype)

@@ -61,18 +61,43 @@ def main():
          lambda: Chain(Flatten(), Dense(100, 8, jnp.tanh),
                        Dense(8, tm.num_actions)), 1.5),
     ]
-    seeds = (0, 1, 2)
+    import numpy as np
+
+    seeds = tuple(range(int(os.environ.get("ABLATION_SEEDS", "10"))))
     out = {}
     for name, prob, mk, thr in cases:
         out[name] = {}
         for mode in ("stratified", "without_replacement"):
             runs = [run(prob, mk(), thr, mode, s) for s in seeds]
+            stt = [r[0] for r in runs]
+            # censored runs (never crossed) count as max_steps for the mean
+            stt_f = np.asarray([s if s is not None else 10_000 for s in stt],
+                               dtype=float)
+            fin = np.asarray([r[1] for r in runs], dtype=float)
             out[name][mode] = {
-                "steps_to_threshold": [r[0] for r in runs],
-                "final_eval_return": [round(r[1], 3) for r in runs],
+                "steps_to_threshold": stt,
+                "stt_mean": round(float(stt_f.mean()), 1),
+                "stt_std": round(float(stt_f.std(ddof=1)), 1),
+                "final_eval_return": [round(float(r[1]), 3) for r in runs],
+                "final_mean": round(float(fin.mean()), 3),
+                "final_std": round(float(fin.std(ddof=1)), 3),
             }
-    print(json.dumps({"metric": "per_sampler_ablation", "seeds": seeds,
-                      "results": out}))
+        # Welch 95% CI on the steps-to-threshold difference between modes +
+        # the minimum detectable effect at this n (two-sided alpha=.05,
+        # power=.80: MDE ~= 2.80 * SE_diff)
+        a = np.asarray([s if s is not None else 10_000 for s in
+                        out[name]["stratified"]["steps_to_threshold"]], float)
+        b = np.asarray([s if s is not None else 10_000 for s in
+                        out[name]["without_replacement"]["steps_to_threshold"]],
+                       float)
+        se = float(np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)))
+        diff = float(a.mean() - b.mean())
+        out[name]["stt_diff_mean"] = round(diff, 1)
+        out[name]["stt_diff_ci95"] = [round(diff - 1.96 * se, 1),
+                                      round(diff + 1.96 * se, 1)]
+        out[name]["stt_min_detectable_effect"] = round(2.80 * se, 1)
+    print(json.dumps({"metric": "per_sampler_ablation",
+                      "seeds": list(seeds), "results": out}))
 
 
 if __name__ == "__main__":

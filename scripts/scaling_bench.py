@@ -1,13 +1,17 @@
 """Data-parallel scaling efficiency on a simulated device mesh.
 
-BASELINE.md targets ">=80% scaling efficiency at 2+ hosts"; no multi-chip
-hardware is available, so this measures the stand-in the VERDICT asked for:
-aggregate env-steps/s of the DataParallelRunner at 1/2/4/8 shards on an
-8-device forced-host CPU mesh, with fixed per-device work (weak scaling).
-Efficiency_D = sps_D / (D * sps_1). CPU devices share host cores, so the
-absolute numbers are meaningless — the *ratio* shows whether the sharded
-program introduces collective/serialization overhead beyond the one grad
-all-reduce.
+This is a COLLECTIVE/SERIALIZATION-OVERHEAD SMOKE TEST, not an efficiency
+measurement (ADVICE r2): the 8 virtual devices share 2 host cores, so the
+wall-clock at every point is dominated by oversubscribed-host dispatch, and
+weak-scaling "efficiency" computed from it cannot substantiate the >=80%
+2-host BASELINE target — that target remains unverifiable without real
+multi-chip hardware. What the ratio CAN show is whether the sharded program
+adds overhead beyond the one grad all-reduce: a catastrophic serialization
+bug (e.g. an accidental cross-shard gather per step) would crater the curve
+at any device count.
+
+Methodology (VERDICT r2 weak #3): >=5 timed reps per point, mean +/- std
+reported per point; each rep re-times the same compiled segment.
 
 Run: ``python scripts/scaling_bench.py``. Prints one JSON line.
 """
@@ -32,7 +36,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
-def measure(n_devices: int, n_iters: int = 30) -> float:
+def measure(n_devices: int, n_iters: int = 30, reps: int = 6):
     from deepqlearning_tpu import (
         Chain, Dense, DQNConfig, Flatten, SimpleGridWorld,
         create_dueling_network,
@@ -64,28 +68,42 @@ def measure(n_devices: int, n_iters: int = 30) -> float:
     carry = runner.run_populate(carry, 2)
     carry = runner.run_segment(carry, n_iters)   # warm-up + compile
     float(carry.loss[0])
-    best = float("inf")
-    for _ in range(3):
+    samples = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         carry = runner.run_segment(carry, n_iters)
         float(carry.loss[0])
-        best = min(best, time.perf_counter() - t0)
-    return n_iters * cfg.env_steps_per_iter * n_devices / best
+        samples.append(
+            n_iters * cfg.env_steps_per_iter * n_devices
+            / (time.perf_counter() - t0)
+        )
+    return samples
 
 
 def main():
-    results = {}
+    import numpy as np
+
+    reps = int(os.environ.get("SCALING_REPS", "6"))
+    stats = {}
     for d in (1, 2, 4, 8):
-        results[d] = measure(d)
-    eff = {d: results[d] / (d * results[1]) for d in results}
+        s = np.asarray(measure(d, reps=reps))
+        stats[d] = (float(s.mean()), float(s.std(ddof=1)))
+    ratio = {d: stats[d][0] / (d * stats[1][0]) for d in stats}
     print(json.dumps({
-        "metric": "dp_scaling_efficiency",
-        "mesh": "8x forced-host CPU devices (weak scaling, 512 envs/shard)",
-        "aggregate_steps_per_s": {str(d): round(v, 1) for d, v in results.items()},
-        "efficiency": {str(d): round(v, 3) for d, v in eff.items()},
-        "value": round(eff[8], 3),
-        "unit": "efficiency@8",
-        "vs_baseline": round(eff[8] / 0.8, 3),
+        "metric": "dp_overhead_smoke",
+        "mesh": "8 virtual devices on 2 host cores (oversubscribed; ratios "
+                "are NOT hardware scaling efficiency — see module docstring)",
+        "reps_per_point": reps,
+        "aggregate_steps_per_s_mean": {str(d): round(v[0], 1)
+                                       for d, v in stats.items()},
+        "aggregate_steps_per_s_std": {str(d): round(v[1], 1)
+                                      for d, v in stats.items()},
+        "throughput_ratio_vs_1dev": {str(d): round(v, 3)
+                                     for d, v in ratio.items()},
+        "value": round(ratio[8], 3),
+        "unit": "throughput_ratio@8 (oversubscribed-host smoke test)",
+        "real_target_note": ">=80% @ 2 hosts remains unverified without "
+                            "multi-chip hardware",
     }))
 
 
