@@ -97,8 +97,11 @@ def _make_batch_update(network, buffer, gamma, double_q, optimizer,
                 q, q_sp_onl = _q_pair(p, batch)
                 if q_sp_onl is None:
                     q_sp_onl = q_sp_tgt  # unused by the kernel's max path
+                # the kernel's custom VJP is f32-typed; bf16 networks cast
+                # here so the astype VJP converts the cotangent back
                 loss, td, prio = td_loss_fused(
-                    q, q_sp_onl, q_sp_tgt, batch.action, batch.reward,
+                    q.astype(jnp.float32), q_sp_onl.astype(jnp.float32),
+                    q_sp_tgt.astype(jnp.float32), batch.action, batch.reward,
                     batch.done, weights, gamma, buffer.alpha, buffer.eps,
                     double_q,
                 )

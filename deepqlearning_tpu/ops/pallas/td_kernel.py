@@ -71,6 +71,9 @@ def _round_up(x, m):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def td_loss_fused(q_s, q_sp_online, q_sp_target, action, reward, done, weights,
                   gamma, alpha, eps, double_q, interpret=False):
+    """NOTE: inputs must be f32 — the custom VJP returns f32 cotangents, so
+    low-precision callers cast at THEIR boundary (train_step does), keeping
+    this function's primal/cotangent dtypes consistent."""
     loss, td, prio, _ = _call(q_s, q_sp_online, q_sp_target, action, reward,
                               done, weights, gamma, alpha, eps, double_q,
                               interpret)
