@@ -167,3 +167,38 @@ def test_opt_state_layout_conversion_both_ways(tmp_path):
                                np.asarray(flat[0].mu), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(back.opt_state[0].nu),
                                np.asarray(flat[0].nu), rtol=1e-6)
+
+
+def test_opt_state_conversion_recurrent_params(tmp_path):
+    # the ravel-based conversion is structure-agnostic: an LSTM chain's
+    # FusedAdamState (written by the fused DRQN path on TPU) resumes under
+    # the optax layout the CPU path uses, and round-trips back
+    from typing import NamedTuple
+
+    from deepqlearning_tpu.models.chain import LSTM
+    from deepqlearning_tpu.learner.train_step import (
+        FusedAdamState,
+        make_optimizer,
+    )
+
+    class Carry(NamedTuple):
+        params: object
+        opt_state: object
+
+    net = Chain(LSTM(3, 8), Dense(8, 2))
+    params = net.init(jax.random.PRNGKey(0))
+    fused = FusedAdamState(
+        m=jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.25), params),
+        v=jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.5), params),
+        count=jnp.asarray(7, jnp.int32))
+    d = str(tmp_path / "drqn")
+    checkpoint.save_train_state(d, Carry(params, fused))
+    opt = make_optimizer(1e-3)
+    loaded = checkpoint.load_train_state(d, Carry(params, opt.init(params)))
+    assert int(loaded.opt_state[0].count) == 7
+    from jax.flatten_util import ravel_pytree
+
+    np.testing.assert_allclose(np.asarray(loaded.opt_state[0].mu),
+                               ravel_pytree(fused.m)[0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.opt_state[0].nu),
+                               ravel_pytree(fused.v)[0], rtol=1e-6)
