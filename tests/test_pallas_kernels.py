@@ -70,3 +70,56 @@ def test_td_kernel_gradient_matches_reference():
     gr = jax.grad(f_ref)(q_s)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_tree_sample_kernel_matches_xla_descent():
+    """The whole-descent Pallas kernel (ops/pallas/tree_sample.py) must make
+    the exact draws of sumtree.sample — same uniforms, same selection — for
+    single-stage, two-stage, and root-only level structures."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas.tree_sample import (
+        sample_pallas,
+        supported,
+    )
+
+    for cap, draws in ((64, 32), (4096, 600), (262144, 512)):
+        tree = sumtree.init_tree(cap)
+        prios = (
+            jax.random.uniform(jax.random.PRNGKey(cap), (cap,)) + 0.01
+        )
+        tree = sumtree.set_priorities(tree, jnp.arange(cap), prios)
+        assert supported(tree)
+        key = jax.random.PRNGKey(7)
+        ix, px = sumtree.sample(tree, key, draws)
+        ik, pk = sample_pallas(tree, key, draws, interpret=True)
+        ix, ik = np.asarray(ix), np.asarray(ik)
+        # the kernel's prefix-sum is a triangular matmul, the XLA path a
+        # sequential cumsum: a mass landing within an ulp of a child
+        # boundary may select the adjacent leaf. Require near-total exact
+        # agreement and adjacency for the rest; the returned priority must
+        # be the RETURNED leaf's value either way.
+        exact = ix == ik
+        assert exact.mean() >= 0.99, exact.mean()
+        assert np.abs(ix - ik).max() <= 1
+        np.testing.assert_allclose(
+            np.asarray(pk), np.asarray(prios)[ik], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(px), np.asarray(prios)[ix], rtol=1e-6)
+
+
+def test_tree_sample_kernel_distribution():
+    # proportionality sanity: heavy leaf drawn ~proportionally more
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas.tree_sample import sample_pallas
+
+    cap = 1024
+    prios = jnp.ones((cap,)).at[3].set(float(cap))
+    tree = sumtree.set_priorities(sumtree.init_tree(cap),
+                                  jnp.arange(cap), prios)
+    idx, p = sample_pallas(tree, jax.random.PRNGKey(0), 2048,
+                           interpret=True)
+    frac = float(np.mean(np.asarray(idx) == 3))
+    # leaf 3 holds cap/(2*cap - 1) ~ 50% of the mass
+    assert 0.4 < frac < 0.6, frac
+    np.testing.assert_allclose(np.asarray(p),
+                               np.asarray(prios)[np.asarray(idx)])

@@ -224,3 +224,32 @@ def test_td_kernel_compiles_and_matches_on_tpu():
     p = jax.jit(pal_step)(params, params, pal_opt.init(params), st, k)
     np.testing.assert_allclose(float(r.loss), float(p.loss), rtol=1e-3)
     _tree_close(r.params, p.params)
+
+
+def test_tree_sample_kernel_on_tpu():
+    """Whole-descent sampler kernel at the bench shape (256K leaves, 4096
+    draws) through real Mosaic: near-total agreement with the XLA descent
+    (ulp-boundary draws may pick the adjacent leaf) and self-consistent
+    priorities."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas.tree_sample import (
+        sample_pallas,
+        supported,
+    )
+
+    cap, draws = 1 << 18, 4096
+    prios = jax.random.uniform(jax.random.PRNGKey(0), (cap,)) + 0.01
+    tree = sumtree.set_priorities(sumtree.init_tree(cap),
+                                  jnp.arange(cap), prios)
+    assert supported(tree)
+    key = jax.random.PRNGKey(7)
+    ix, px = jax.jit(lambda k: sumtree.sample(tree, k, draws))(key)
+    ik, pk = jax.jit(
+        lambda k: sample_pallas(tree, k, draws, interpret=False)
+    )(key)
+    ix, ik = np.asarray(ix), np.asarray(ik)
+    exact = (ix == ik).mean()
+    assert exact >= 0.99, exact
+    assert np.abs(ix.astype(np.int64) - ik.astype(np.int64)).max() <= 1
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
+                               rtol=1e-5)
