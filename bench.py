@@ -1,9 +1,12 @@
 """Benchmark: aggregate env-steps/s of the full actor-learner loop on one chip.
 
-Headline config from BASELINE.json: SimpleGridWorld, 4096 vectorized envs,
+Headline config from BASELINE.json: SimpleGridWorld, 131072 vectorized envs,
 prioritized sum-tree replay + IS weights, dueling double-DQN learner — the
 complete loop (ε-greedy act → vmapped env step → batched PER insert →
 stratified sum-tree sample → fused TD update → priority update) fully jitted.
+The buffer scales with the env count (>= 8 insert generations) so replay
+freshness matches the reference-style ratios at any size; the data/update
+ratio is fixed at 4096 env steps per update.
 Target: ≥ 1M env-steps/s aggregate (vs_baseline = value / 1e6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -36,8 +39,10 @@ def main():
     from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
     from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
 
-    num_envs = 256 if small else int(os.environ.get("BENCH_ENVS", "32768"))
-    buffer_size = 1 << (12 if small else 18)
+    num_envs = 256 if small else int(os.environ.get("BENCH_ENVS", "131072"))
+    # hold at least 8 insert generations (and at least 2^18 transitions) so
+    # prioritized replay stays meaningful at any env count
+    buffer_size = 1 << (12 if small else max(18, (8 * num_envs - 1).bit_length()))
     batch_size = 512
     # data/update ratio fixed at 4096 env steps per fused update regardless
     # of env count (reference-style ratios, SURVEY.md §7(c))
