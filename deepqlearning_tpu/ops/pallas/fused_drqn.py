@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.chain import LSTM, Chain, Dense, Flatten
+from ...models.chain import GRU, LSTM, Chain, Dense, Flatten
 from ...models.dueling import DuelingNetwork
 from .fused_update import _act_name, _apply_act, _act_grad
 
@@ -81,16 +81,21 @@ class _LP:
 class DRQNPlan:
     in_dim: int        # flattened observation features
     in_p: int
-    pre: Tuple[_LP, ...]   # dense layers before the LSTM
+    pre: Tuple[_LP, ...]   # dense layers before the recurrent cell
     lstm_in: int
     lstm_in_p: int
     H: int
     Hp: int
     dueling: bool
     val: Tuple[_LP, ...]   # () when not dueling
-    adv: Tuple[_LP, ...]   # the post-LSTM head (plain) or advantage head
+    adv: Tuple[_LP, ...]   # the post-cell head (plain) or advantage head
     A: int
     A_p: int
+    cell: str = "lstm"     # "lstm" (4 gates: i,f,g,o) | "gru" (3: r,z,n)
+
+    @property
+    def n_gates(self) -> int:
+        return 4 if self.cell == "lstm" else 3
 
 
 def _dense8(chain: Chain) -> Optional[Tuple[_LP, ...]]:
@@ -107,10 +112,10 @@ def _dense8(chain: Chain) -> Optional[Tuple[_LP, ...]]:
     return tuple(plans)
 
 
-def _split_base(layers) -> Optional[Tuple[Tuple[_LP, ...], LSTM]]:
-    """``[Flatten]* [Dense]* LSTM`` -> (pre plans, lstm). None if unsupported."""
+def _split_base(layers):
+    """``[Flatten]* [Dense]* (LSTM|GRU)`` -> (pre plans, cell layer)."""
     layers = [l for l in layers if not isinstance(l, Flatten)]
-    if not layers or not isinstance(layers[-1], LSTM):
+    if not layers or not isinstance(layers[-1], (LSTM, GRU)):
         return None
     if not all(isinstance(l, Dense) for l in layers[:-1]):
         return None
@@ -141,7 +146,7 @@ def drqn_plan_for(network, trace_length: int, batch_size: int,
     elif isinstance(network, Chain):
         try:
             i = next(j for j, l in enumerate(network.layers)
-                     if isinstance(l, LSTM))
+                     if isinstance(l, (LSTM, GRU)))
         except StopIteration:
             return None
         sb = _split_base(network.layers[: i + 1])
@@ -158,6 +163,8 @@ def drqn_plan_for(network, trace_length: int, batch_size: int,
     else:
         return None
 
+    cell = "lstm" if isinstance(lstm, LSTM) else "gru"
+    ng = 4 if cell == "lstm" else 3
     in_dim = pre[0].din if pre else lstm.in_dim
     H, Hp = lstm.hidden, _r8(lstm.hidden)
     A = adv[-1].dout
@@ -169,7 +176,7 @@ def drqn_plan_for(network, trace_length: int, batch_size: int,
     lstm_in_p = _r8(lstm.in_dim)
     pbytes = 4 * (
         sum(l.din_p * l.dout_p + l.dout_p for l in pre + val + adv)
-        + 4 * (Hp * lstm_in_p + Hp * Hp + Hp)
+        + ng * (Hp * lstm_in_p + Hp * Hp + Hp)
     )
     in_rows = T * (_r8(in_dim) * (2 if double_q else 1) + _r8(A) + 4 * 8)
     ibytes = 4 * in_rows * Bp * 2  # x2: Pallas double-buffers input blocks
@@ -184,7 +191,7 @@ def drqn_plan_for(network, trace_length: int, batch_size: int,
     return DRQNPlan(
         in_dim=in_dim, in_p=_r8(in_dim), pre=pre,
         lstm_in=lstm.in_dim, lstm_in_p=lstm_in_p, H=H, Hp=Hp,
-        dueling=dueling, val=val, adv=adv, A=A, A_p=_r8(A),
+        dueling=dueling, val=val, adv=adv, A=A, A_p=_r8(A), cell=cell,
     )
 
 
@@ -206,7 +213,8 @@ def _split_net(network, tree, plan: DRQNPlan):
         val = _chain_wb(network.val.layers, tree["val"])
         adv = _chain_wb(network.adv.layers, tree["adv"])
     else:
-        i = next(j for j, l in enumerate(network.layers) if isinstance(l, LSTM))
+        i = next(j for j, l in enumerate(network.layers)
+                 if isinstance(l, (LSTM, GRU)))
         base_layers, base_ps = network.layers[: i + 1], tree[: i + 1]
         val = []
         adv = _chain_wb(network.layers[i + 1:], tree[i + 1:])
@@ -228,24 +236,25 @@ def _pad_b(b, dout: int, dout_p: int):
 def pack_drqn(network, tree, plan: DRQNPlan):
     """Params-like pytree -> flat list of padded feature-major tensors.
 
-    Order: pre (wT,b)* | wiT_i..o | whT_i..o | b_i..o | val (wT,b)* | adv (wT,b)*.
-    Gate order follows ``LSTM._cell``'s ``jnp.split``: i, f, g, o.
+    Order: pre (wT,b)* | wiT per gate | whT per gate | b per gate |
+    val (wT,b)* | adv (wT,b)*. Gate order follows the cell's ``_cell``
+    slicing: i,f,g,o for LSTM; r,z,n for GRU.
     """
     pre, lstm_p, val, adv = _split_net(network, tree, plan)
-    H, Hp, Ip = plan.H, plan.Hp, plan.lstm_in_p
+    H, Hp, Ip, ng = plan.H, plan.Hp, plan.lstm_in_p, plan.n_gates
     packed = []
     for (w, b), lp in zip(pre, plan.pre):
         packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
     wi, wh, bb = lstm_p["wi"], lstm_p["wh"], lstm_p["b"]
-    for g in range(4):
+    for g in range(ng):
         sl = slice(g * H, (g + 1) * H)
         wt = jnp.transpose(wi[:, sl].astype(jnp.float32))  # [H, in]
         packed.append(jnp.pad(wt, ((0, Hp - H), (0, Ip - plan.lstm_in))))
-    for g in range(4):
+    for g in range(ng):
         sl = slice(g * H, (g + 1) * H)
         wt = jnp.transpose(wh[:, sl].astype(jnp.float32))  # [H, H]
         packed.append(jnp.pad(wt, ((0, Hp - H), (0, Hp - H))))
-    for g in range(4):
+    for g in range(ng):
         packed.append(_pad_b(bb[g * H:(g + 1) * H], H, Hp))
     for (w, b), lp in zip(val, plan.val):
         packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
@@ -257,7 +266,7 @@ def pack_drqn(network, tree, plan: DRQNPlan):
 def unpack_drqn(network, tree, plan: DRQNPlan, packed):
     """Inverse of :func:`pack_drqn` into a pytree shaped like ``tree``."""
     flat = list(packed)
-    H = plan.H
+    H, ng = plan.H, plan.n_gates
 
     def take_dense(lp: _LP):
         wt = flat.pop(0)[: lp.dout, : lp.din]
@@ -265,9 +274,9 @@ def unpack_drqn(network, tree, plan: DRQNPlan, packed):
         return {"w": jnp.transpose(wt), "b": b}
 
     pre_ps = [take_dense(lp) for lp in plan.pre]
-    wi_g = [flat.pop(0)[:H, : plan.lstm_in] for _ in range(4)]
-    wh_g = [flat.pop(0)[:H, :H] for _ in range(4)]
-    b_g = [flat.pop(0)[:H, 0] for _ in range(4)]
+    wi_g = [flat.pop(0)[:H, : plan.lstm_in] for _ in range(ng)]
+    wh_g = [flat.pop(0)[:H, :H] for _ in range(ng)]
+    b_g = [flat.pop(0)[:H, 0] for _ in range(ng)]
     lstm_p = {
         "wi": jnp.concatenate([jnp.transpose(w) for w in wi_g], axis=1),
         "wh": jnp.concatenate([jnp.transpose(w) for w in wh_g], axis=1),
@@ -292,7 +301,8 @@ def unpack_drqn(network, tree, plan: DRQNPlan, packed):
             "val": rebuild_chain(network.val.layers, tree["val"], val_ps),
             "adv": rebuild_chain(network.adv.layers, tree["adv"], adv_ps),
         }
-    i = next(j for j, l in enumerate(network.layers) if isinstance(l, LSTM))
+    i = next(j for j, l in enumerate(network.layers)
+             if isinstance(l, (LSTM, GRU)))
     out = list(rebuild_chain(network.layers[:i], tree[:i], pre_ps))
     out.append(lstm_p)
     out += list(rebuild_chain(network.layers[i + 1:], tree[i + 1:], adv_ps))
@@ -307,12 +317,13 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
     import math as _math
 
     n_pre, n_val, n_adv = len(plan.pre), len(plan.val), len(plan.adv)
+    ng = plan.n_gates
     # packed-tensor index map (matches pack_drqn order)
     pre_base = 0
     wi_base = pre_base + 2 * n_pre
-    wh_base = wi_base + 4
-    bg_base = wh_base + 4
-    val_base = bg_base + 4
+    wh_base = wi_base + ng
+    bg_base = wh_base + ng
+    val_base = bg_base + ng
     adv_base = val_base + 2 * n_val
     nt = adv_base + 2 * n_adv
     A, A_p, Hp, Ip, Dp = plan.A, plan.A_p, plan.Hp, plan.lstm_in_p, plan.in_p
@@ -362,21 +373,33 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
             return hs
 
         def lstm_step(x, h, c):
-            zs = []
-            for g in range(4):
-                zs.append(
-                    mm(p_s[wi_base + g][:], x, ((1,), (0,)))
-                    + mm(p_s[wh_base + g][:], h, ((1,), (0,)))
-                    + p_s[bg_base + g][:]
-                )
-            i_g = jax.nn.sigmoid(zs[0])
-            f_g = jax.nn.sigmoid(zs[1])
-            g_g = jnp.tanh(zs[2])
-            o_g = jax.nn.sigmoid(zs[3])
-            c_new = f_g * c + i_g * g_g
-            tc = jnp.tanh(c_new)
-            h_new = o_g * tc
-            return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
+            """One recurrent-cell step. LSTM: carry (h, c), cache
+            (i, f, g, o, tanh(c')). GRU (c unused, stays zeros): carry (h,),
+            cache (r, z, n, wh_n@h) — matching ``chain.py``'s cells exactly.
+            """
+            if plan.cell == "lstm":
+                zs = []
+                for g in range(4):
+                    zs.append(
+                        mm(p_s[wi_base + g][:], x, ((1,), (0,)))
+                        + mm(p_s[wh_base + g][:], h, ((1,), (0,)))
+                        + p_s[bg_base + g][:]
+                    )
+                i_g = jax.nn.sigmoid(zs[0])
+                f_g = jax.nn.sigmoid(zs[1])
+                g_g = jnp.tanh(zs[2])
+                o_g = jax.nn.sigmoid(zs[3])
+                c_new = f_g * c + i_g * g_g
+                tc = jnp.tanh(c_new)
+                h_new = o_g * tc
+                return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
+            xi = [mm(p_s[wi_base + g][:], x, ((1,), (0,))) for g in range(3)]
+            hh = [mm(p_s[wh_base + g][:], h, ((1,), (0,))) for g in range(3)]
+            r_g = jax.nn.sigmoid(xi[0] + hh[0] + p_s[bg_base + 0][:])
+            z_g = jax.nn.sigmoid(xi[1] + hh[1] + p_s[bg_base + 1][:])
+            n_g = jnp.tanh(xi[2] + r_g * hh[2] + p_s[bg_base + 2][:])
+            h_new = (1.0 - z_g) * n_g + z_g * h
+            return h_new, c, (r_g, z_g, n_g, hh[2])
 
         rows_a = jax.lax.broadcasted_iota(jnp.int32, (A_p, Bp), 0)
         amask = rows_a < A
@@ -493,28 +516,48 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
                 dh_head = dense_bwd(plan.adv, adv_base, adv_hs, dq)
 
             dh_t = dh_head + dh_carry
-            i_g, f_g, g_g, o_g, tc = gates_l[t]
             c_prev, h_prev = cs[t], hs[t]
-            do = dh_t * tc
-            dc = dc_carry + dh_t * o_g * (1.0 - tc * tc)
-            dzs = [
-                (dc * g_g) * i_g * (1.0 - i_g),       # i
-                (dc * c_prev) * f_g * (1.0 - f_g),    # f
-                (dc * i_g) * (1.0 - g_g * g_g),       # g
-                do * o_g * (1.0 - o_g),               # o
-            ]
-            dc_carry = dc * f_g
             xL = pre_l[t][-1]
-            dh_carry = zHB
+            if plan.cell == "lstm":
+                i_g, f_g, g_g, o_g, tc = gates_l[t]
+                do = dh_t * tc
+                dc = dc_carry + dh_t * o_g * (1.0 - tc * tc)
+                dzs = [
+                    (dc * g_g) * i_g * (1.0 - i_g),       # i
+                    (dc * c_prev) * f_g * (1.0 - f_g),    # f
+                    (dc * i_g) * (1.0 - g_g * g_g),       # g
+                    do * o_g * (1.0 - o_g),               # o
+                ]
+                dhh = dzs  # wh-side cotangents coincide with the gate ones
+                dh_direct = zHB
+                dc_carry = dc * f_g
+            else:
+                r_g, z_g, n_g, hh_n = gates_l[t]
+                dz_gate = dh_t * (h_prev - n_g)
+                dn = dh_t * (1.0 - z_g)
+                d_pre_n = dn * (1.0 - n_g * n_g)
+                dr = d_pre_n * hh_n
+                dhh_n = d_pre_n * r_g
+                dzs = [
+                    dr * r_g * (1.0 - r_g),               # r (wi/b side)
+                    dz_gate * z_g * (1.0 - z_g),          # z
+                    d_pre_n,                              # n
+                ]
+                # wh-side cotangents differ for n: hh_n enters via r*hh_n
+                dhh = [dzs[0], dzs[1], dhh_n]
+                dh_direct = dh_t * z_g
+            dh_carry = dh_direct
             dxL = None
-            for g in range(4):
+            for g in range(ng):
                 dz = dzs[g]
                 grads[wi_base + g] = grads[wi_base + g] + mm(dz, xL, ((1,), (1,)))
-                grads[wh_base + g] = grads[wh_base + g] + mm(dz, h_prev, ((1,), (1,)))
+                grads[wh_base + g] = grads[wh_base + g] + mm(dhh[g], h_prev,
+                                                            ((1,), (1,)))
                 grads[bg_base + g] = grads[bg_base + g] + jnp.sum(
                     dz, axis=1, keepdims=True
                 )
-                dh_carry = dh_carry + mm(p_s[wh_base + g][:], dz, ((0,), (0,)))
+                dh_carry = dh_carry + mm(p_s[wh_base + g][:], dhh[g],
+                                         ((0,), (0,)))
                 if n_pre:
                     dxg = mm(p_s[wi_base + g][:], dz, ((0,), (0,)))
                     dxL = dxg if dxL is None else dxL + dxg

@@ -63,11 +63,19 @@ def _nets(obs_dim, A, kind):
         return create_dueling_network(
             Chain(LSTM(obs_dim, 12), Dense(12, 8, jnp.tanh), Dense(8, A))
         )
+    if kind == "gru":
+        return Chain(GRU(obs_dim, 12), Dense(12, A))
+    if kind == "gru_dueling":
+        return create_dueling_network(
+            Chain(Dense(obs_dim, 10, jnp.tanh), GRU(10, 12),
+                  Dense(12, 8, jnp.tanh), Dense(8, A))
+        )
     raise ValueError(kind)
 
 
 @pytest.mark.parametrize("double_q", [True, False])
-@pytest.mark.parametrize("kind", ["plain", "deep", "dueling"])
+@pytest.mark.parametrize("kind", ["plain", "deep", "dueling", "gru",
+                                  "gru_dueling"])
 def test_fused_drqn_matches_grouped_xla_path(kind, double_q):
     obs_dim, A, B, T, U = 5, 4, 8, 6, 3
     net = _nets(obs_dim, A, kind)
@@ -120,10 +128,15 @@ def test_fused_drqn_single_update_equals_unfused():
 
 
 def test_drqn_plan_rejections():
-    # GRU, multi-LSTM, and feed-forward chains fall back to the XLA path
-    assert drqn_plan_for(Chain(GRU(3, 8), Dense(8, 2)), 8, 8) is None
+    # multi-recurrent and feed-forward chains fall back to the XLA path;
+    # GRU chains are supported (cell="gru")
+    plan = drqn_plan_for(Chain(GRU(3, 8), Dense(8, 2)), 8, 8)
+    assert plan is not None and plan.cell == "gru" and plan.n_gates == 3
     assert drqn_plan_for(
         Chain(LSTM(3, 8), LSTM(8, 8), Dense(8, 2)), 8, 8
+    ) is None
+    assert drqn_plan_for(
+        Chain(GRU(3, 8), LSTM(8, 8), Dense(8, 2)), 8, 8
     ) is None
     assert drqn_plan_for(Chain(Dense(3, 8), Dense(8, 2)), 8, 8) is None
     # oversized working set refused (VMEM budget)

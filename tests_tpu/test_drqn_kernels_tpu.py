@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from deepqlearning_tpu import Chain, Dense, Flatten, create_dueling_network
-from deepqlearning_tpu.models.chain import LSTM
+from deepqlearning_tpu.models.chain import GRU, LSTM
 from deepqlearning_tpu.learner.train_step import (
     make_drqn_train_step,
     make_fused_grouped_drqn_train_step,
@@ -73,6 +73,8 @@ def _params_mostly_close(a, b, atol, max_abs, max_frac=0.02):
 def _nets(obs_dim, A, kind, H=32):
     if kind == "plain":
         return Chain(LSTM(obs_dim, H), Dense(H, A))
+    if kind == "gru":
+        return Chain(GRU(obs_dim, H), Dense(H, A))
     if kind == "deep":
         return Chain(Flatten(), Dense(obs_dim, 16, jnp.tanh),
                      LSTM(16, H), Dense(H, 16, jax.nn.relu), Dense(16, A))
@@ -92,6 +94,7 @@ CASES = [
     (5, 6, 128, 8, 4, "deep", True),      # pre-LSTM dense, A != 4
     (2, 4, 512, 8, 4, "plain", False),    # single-Q
     (2, 4, 256, 10, 2, "plain", True),    # off-bench sizes
+    (2, 4, 512, 8, 4, "gru", True),       # GRU cell at bench sizes
 ]
 
 
