@@ -236,9 +236,12 @@ def _pad_b(b, dout: int, dout_p: int):
 def pack_drqn(network, tree, plan: DRQNPlan):
     """Params-like pytree -> flat list of padded feature-major tensors.
 
-    Order: pre (wT,b)* | wiT per gate | whT per gate | b per gate |
-    val (wT,b)* | adv (wT,b)*. Gate order follows the cell's ``_cell``
-    slicing: i,f,g,o for LSTM; r,z,n for GRU.
+    Order: pre (wT,b)* | wiT_all | whT_all | b_all | val (wT,b)* |
+    adv (wT,b)*. Gate blocks are stacked on the SUBLANE axis of single
+    [ng*Hp, .] tensors (gate g at rows g*Hp:(g+1)*Hp, per-gate padded) so
+    the cell computes all gate pre-activations with ONE matmul per operand
+    side; gate order follows the cell's ``_cell`` slicing: i,f,g,o for
+    LSTM; r,z,n for GRU.
     """
     pre, lstm_p, val, adv = _split_net(network, tree, plan)
     H, Hp, Ip, ng = plan.H, plan.Hp, plan.lstm_in_p, plan.n_gates
@@ -246,16 +249,20 @@ def pack_drqn(network, tree, plan: DRQNPlan):
     for (w, b), lp in zip(pre, plan.pre):
         packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
     wi, wh, bb = lstm_p["wi"], lstm_p["wh"], lstm_p["b"]
-    for g in range(ng):
-        sl = slice(g * H, (g + 1) * H)
-        wt = jnp.transpose(wi[:, sl].astype(jnp.float32))  # [H, in]
-        packed.append(jnp.pad(wt, ((0, Hp - H), (0, Ip - plan.lstm_in))))
-    for g in range(ng):
-        sl = slice(g * H, (g + 1) * H)
-        wt = jnp.transpose(wh[:, sl].astype(jnp.float32))  # [H, H]
-        packed.append(jnp.pad(wt, ((0, Hp - H), (0, Hp - H))))
-    for g in range(ng):
-        packed.append(_pad_b(bb[g * H:(g + 1) * H], H, Hp))
+
+    def gate_stack(mat, cols):
+        blocks = []
+        for g in range(ng):
+            wt = jnp.transpose(
+                mat[:, g * H:(g + 1) * H].astype(jnp.float32))
+            blocks.append(jnp.pad(wt, ((0, Hp - H), (0, cols - wt.shape[1]))))
+        return jnp.concatenate(blocks, axis=0)          # [ng*Hp, cols]
+
+    packed.append(gate_stack(wi, Ip))
+    packed.append(gate_stack(wh, Hp))
+    packed.append(jnp.concatenate(
+        [_pad_b(bb[g * H:(g + 1) * H], H, Hp) for g in range(ng)], axis=0
+    ))
     for (w, b), lp in zip(val, plan.val):
         packed += [_pad_wT(w, lp), _pad_b(b, lp.dout, lp.dout_p)]
     for (w, b), lp in zip(adv, plan.adv):
@@ -274,9 +281,11 @@ def unpack_drqn(network, tree, plan: DRQNPlan, packed):
         return {"w": jnp.transpose(wt), "b": b}
 
     pre_ps = [take_dense(lp) for lp in plan.pre]
-    wi_g = [flat.pop(0)[:H, : plan.lstm_in] for _ in range(ng)]
-    wh_g = [flat.pop(0)[:H, :H] for _ in range(ng)]
-    b_g = [flat.pop(0)[:H, 0] for _ in range(ng)]
+    Hp = plan.Hp
+    wi_all, wh_all, b_all = flat.pop(0), flat.pop(0), flat.pop(0)
+    wi_g = [wi_all[g * Hp:g * Hp + H, : plan.lstm_in] for g in range(ng)]
+    wh_g = [wh_all[g * Hp:g * Hp + H, :H] for g in range(ng)]
+    b_g = [b_all[g * Hp:g * Hp + H, 0] for g in range(ng)]
     lstm_p = {
         "wi": jnp.concatenate([jnp.transpose(w) for w in wi_g], axis=1),
         "wh": jnp.concatenate([jnp.transpose(w) for w in wh_g], axis=1),
@@ -320,10 +329,10 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
     ng = plan.n_gates
     # packed-tensor index map (matches pack_drqn order)
     pre_base = 0
-    wi_base = pre_base + 2 * n_pre
-    wh_base = wi_base + ng
-    bg_base = wh_base + ng
-    val_base = bg_base + ng
+    wi_all = pre_base + 2 * n_pre       # [ng*Hp, Ip]
+    wh_all = wi_all + 1                 # [ng*Hp, Hp]
+    b_all = wh_all + 1                  # [ng*Hp, 1]
+    val_base = b_all + 1
     adv_base = val_base + 2 * n_val
     nt = adv_base + 2 * n_adv
     A, A_p, Hp, Ip, Dp = plan.A, plan.A_p, plan.Hp, plan.lstm_in_p, plan.in_p
@@ -377,29 +386,28 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
             (i, f, g, o, tanh(c')). GRU (c unused, stays zeros): carry (h,),
             cache (r, z, n, wh_n@h) — matching ``chain.py``'s cells exactly.
             """
+            # ALL gate pre-activations in one matmul per operand side: the
+            # gate weights are stacked on sublanes ([ng*Hp, .]); per-gate
+            # blocks come back as static aligned sublane slices
+            xi_all = mm(p_s[wi_all][:], x, ((1,), (0,))) + p_s[b_all][:]
+            hh_all = mm(p_s[wh_all][:], h, ((1,), (0,)))
+            blk = lambda a, g: a[g * Hp:(g + 1) * Hp, :]
             if plan.cell == "lstm":
-                zs = []
-                for g in range(4):
-                    zs.append(
-                        mm(p_s[wi_base + g][:], x, ((1,), (0,)))
-                        + mm(p_s[wh_base + g][:], h, ((1,), (0,)))
-                        + p_s[bg_base + g][:]
-                    )
-                i_g = jax.nn.sigmoid(zs[0])
-                f_g = jax.nn.sigmoid(zs[1])
-                g_g = jnp.tanh(zs[2])
-                o_g = jax.nn.sigmoid(zs[3])
+                z_all = xi_all + hh_all
+                i_g = jax.nn.sigmoid(blk(z_all, 0))
+                f_g = jax.nn.sigmoid(blk(z_all, 1))
+                g_g = jnp.tanh(blk(z_all, 2))
+                o_g = jax.nn.sigmoid(blk(z_all, 3))
                 c_new = f_g * c + i_g * g_g
                 tc = jnp.tanh(c_new)
                 h_new = o_g * tc
                 return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
-            xi = [mm(p_s[wi_base + g][:], x, ((1,), (0,))) for g in range(3)]
-            hh = [mm(p_s[wh_base + g][:], h, ((1,), (0,))) for g in range(3)]
-            r_g = jax.nn.sigmoid(xi[0] + hh[0] + p_s[bg_base + 0][:])
-            z_g = jax.nn.sigmoid(xi[1] + hh[1] + p_s[bg_base + 1][:])
-            n_g = jnp.tanh(xi[2] + r_g * hh[2] + p_s[bg_base + 2][:])
+            hh_n = blk(hh_all, 2)
+            r_g = jax.nn.sigmoid(blk(xi_all, 0) + blk(hh_all, 0))
+            z_g = jax.nn.sigmoid(blk(xi_all, 1) + blk(hh_all, 1))
+            n_g = jnp.tanh(blk(xi_all, 2) + r_g * hh_n)
             h_new = (1.0 - z_g) * n_g + z_g * h
-            return h_new, c, (r_g, z_g, n_g, hh[2])
+            return h_new, c, (r_g, z_g, n_g, hh_n)
 
         rows_a = jax.lax.broadcasted_iota(jnp.int32, (A_p, Bp), 0)
         amask = rows_a < A
@@ -546,22 +554,18 @@ def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,
                 # wh-side cotangents differ for n: hh_n enters via r*hh_n
                 dhh = [dzs[0], dzs[1], dhh_n]
                 dh_direct = dh_t * z_g
-            dh_carry = dh_direct
-            dxL = None
-            for g in range(ng):
-                dz = dzs[g]
-                grads[wi_base + g] = grads[wi_base + g] + mm(dz, xL, ((1,), (1,)))
-                grads[wh_base + g] = grads[wh_base + g] + mm(dhh[g], h_prev,
-                                                            ((1,), (1,)))
-                grads[bg_base + g] = grads[bg_base + g] + jnp.sum(
-                    dz, axis=1, keepdims=True
-                )
-                dh_carry = dh_carry + mm(p_s[wh_base + g][:], dhh[g],
-                                         ((0,), (0,)))
-                if n_pre:
-                    dxg = mm(p_s[wi_base + g][:], dz, ((0,), (0,)))
-                    dxL = dxg if dxL is None else dxL + dxg
+            dz_all = jnp.concatenate(dzs, axis=0)      # [ng*Hp, Bp]
+            dhh_all = (dz_all if plan.cell == "lstm"
+                       else jnp.concatenate(dhh, axis=0))
+            grads[wi_all] = grads[wi_all] + mm(dz_all, xL, ((1,), (1,)))
+            grads[wh_all] = grads[wh_all] + mm(dhh_all, h_prev, ((1,), (1,)))
+            grads[b_all] = grads[b_all] + jnp.sum(dz_all, axis=1,
+                                                  keepdims=True)
+            # contraction over the stacked-gate axis sums the per-gate
+            # contributions in the same matmul
+            dh_carry = dh_direct + mm(p_s[wh_all][:], dhh_all, ((0,), (0,)))
             if n_pre:
+                dxL = mm(p_s[wi_all][:], dz_all, ((0,), (0,)))
                 dense_bwd(plan.pre, pre_base, pre_l[t], dxL)
 
         gn = jnp.float32(0.0)
