@@ -1,10 +1,10 @@
-"""DRQN loop throughput at HEAD — refreshes the round-1 6.48M steps/s figure.
+"""DRQN loop throughput at HEAD.
 
 Same methodology as ``bench.py`` (scan of full iterations, best-of-reps,
 host-read sync) but with the recurrent path: LSTM(obs→32) Q-network,
-EpisodeReplayBuffer with trace windows + masks, grouped DRQN train step
-(one window gather shared across sub-updates). Config mirrors the round-1
-measurement: 4096 envs, LSTM32, trace 8, data/update ratio 4096:1.
+EpisodeReplayBuffer (packed time-major rings) + the fused DRQN Pallas
+kernel. Round-3 recorded numbers (docs/results_r3.json): 16.2M steps/s at
+BENCH_ENVS=16384 (r2: 3.0M), data/update ratio 4096:1.
 
 Run: ``python scripts/drqn_bench.py`` (TPU). Prints one JSON line.
 """
