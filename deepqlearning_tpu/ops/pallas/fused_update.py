@@ -108,6 +108,11 @@ def plan_for(network) -> Optional[FusedPlan]:
             return None
         if val[0].din != adv[0].din:
             return None
+        # the kernel reads only V column 0 — a hand-built DuelingNetwork with
+        # val dout > 1 would silently diverge from DuelingNetwork.apply's
+        # broadcast v+a semantics; require a scalar value head
+        if val[-1].dout != 1:
+            return None
         # the dueling backward builds g_val with the adv head's padded width
         # and multiplies it against the val head's output — only sound when
         # both heads pad to the same width (num_actions <= 128)

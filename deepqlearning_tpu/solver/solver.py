@@ -150,7 +150,10 @@ class DeepQLearningSolver:
 
         ep = self.exploration_policy
         select_fn = ep.select if hasattr(ep, "select") else None
-        if hasattr(ep, "eps"):
+        if callable(getattr(ep, "eps", None)):
+            # EpsGreedyPolicy / VectorizedStrategy expose eps(t) as a method;
+            # ConstantEpsilon's `eps` is a float *field* and must fall through
+            # to the schedule-object branch below (callable() gates that)
             eps_fn = ep.eps
         elif isinstance(ep, (LinearDecaySchedule, ConstantEpsilon)):
             eps_fn = ep

@@ -35,6 +35,44 @@ from deepqlearning_tpu import (
 )
 
 
+def t_quantile(p: float, df: float) -> float:
+    """Student-t quantile via the Cornish-Fisher expansion around the normal
+    quantile (error <0.5% for df >= 4 — plenty for CI reporting, and avoids a
+    scipy dependency)."""
+    import math
+
+    # Acklam-style rational approximation of the normal quantile
+    def _norm_ppf(q):
+        a = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+        b = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+        c = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+        d = [7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00]
+        plow, phigh = 0.02425, 1 - 0.02425
+        if q < plow:
+            u = math.sqrt(-2 * math.log(q))
+            return (((((c[0] * u + c[1]) * u + c[2]) * u + c[3]) * u + c[4]) * u + c[5]) / \
+                   ((((d[0] * u + d[1]) * u + d[2]) * u + d[3]) * u + 1)
+        if q > phigh:
+            return -_norm_ppf(1 - q)
+        u = q - 0.5
+        r = u * u
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * u / \
+               (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+    z = _norm_ppf(p)
+    g1 = (z ** 3 + z) / 4
+    g2 = (5 * z ** 5 + 16 * z ** 3 + 3 * z) / 96
+    g3 = (3 * z ** 7 + 19 * z ** 5 + 17 * z ** 3 - 15 * z) / 384
+    return z + g1 / df + g2 / df ** 2 + g3 / df ** 3
+
+
 def run(problem, model, threshold, mode, seed, max_steps=10_000):
     solver = DeepQLearningSolver(
         qnetwork=model, max_steps=max_steps, learning_rate=5e-3,
@@ -82,20 +120,30 @@ def main():
                 "final_mean": round(float(fin.mean()), 3),
                 "final_std": round(float(fin.std(ddof=1)), 3),
             }
-        # Welch 95% CI on the steps-to-threshold difference between modes +
-        # the minimum detectable effect at this n (two-sided alpha=.05,
-        # power=.80: MDE ~= 2.80 * SE_diff)
+        # Welch 95% CI on the steps-to-threshold difference between modes,
+        # using the t critical value at the Welch-Satterthwaite df (the
+        # normal z=1.96 is too narrow at small n — r3 ADVICE), + the minimum
+        # detectable effect at this n (two-sided alpha=.05, power=.80:
+        # MDE ~= (t_{.975,df} + t_{.80,df}) * SE_diff)
         a = np.asarray([s if s is not None else 10_000 for s in
                         out[name]["stratified"]["steps_to_threshold"]], float)
         b = np.asarray([s if s is not None else 10_000 for s in
                         out[name]["without_replacement"]["steps_to_threshold"]],
                        float)
-        se = float(np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)))
+        va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        se = float(np.sqrt(va + vb))
+        df = (va + vb) ** 2 / (
+            va ** 2 / (len(a) - 1) + vb ** 2 / (len(b) - 1) + 1e-30
+        )
+        tcrit = t_quantile(0.975, df)
         diff = float(a.mean() - b.mean())
         out[name]["stt_diff_mean"] = round(diff, 1)
-        out[name]["stt_diff_ci95"] = [round(diff - 1.96 * se, 1),
-                                      round(diff + 1.96 * se, 1)]
-        out[name]["stt_min_detectable_effect"] = round(2.80 * se, 1)
+        out[name]["welch_df"] = round(float(df), 2)
+        out[name]["t_crit_975"] = round(tcrit, 3)
+        out[name]["stt_diff_ci95"] = [round(diff - tcrit * se, 1),
+                                      round(diff + tcrit * se, 1)]
+        out[name]["stt_min_detectable_effect"] = round(
+            (tcrit + t_quantile(0.80, df)) * se, 1)
     print(json.dumps({"metric": "per_sampler_ablation",
                       "seeds": list(seeds), "results": out}))
 

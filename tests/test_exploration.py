@@ -70,6 +70,27 @@ def test_custom_strategy_trains_on_vectorized_path():
     assert np.isfinite(solver.metrics["loss"]).all()
 
 
+def test_constant_epsilon_solves():
+    """ConstantEpsilon's `eps` is a float dataclass *field*, not a method —
+    the solver must route it through the schedule-object branch instead of
+    calling the float (r3 ADVICE medium: hasattr(ep, 'eps') was truthy and
+    eps_fn became a float, crashing at trace time)."""
+    from deepqlearning_tpu import ConstantEpsilon
+
+    env = SimpleGridWorld()
+    solver = DeepQLearningSolver(
+        qnetwork=Chain(Dense(2, 16, jnp.tanh), Dense(16, env.num_actions)),
+        exploration_policy=ConstantEpsilon(0.3),
+        max_steps=512, num_envs=16, train_freq=16, buffer_size=1024,
+        train_start=128, eval_freq=512, log_freq=512, save_freq=10_000,
+        double_q=False, dueling=False, prioritized_replay=False,
+        verbose=False, logdir=None, max_episode_length=50,
+    )
+    policy = solver.solve(env)
+    a = policy.action(jnp.asarray([1.0, 1.0]))
+    assert a in env.action_map
+
+
 def test_custom_strategy_with_schedule_logs_eps():
     sched = LinearDecaySchedule(0.5, 0.1, 100)
     strat = VectorizedStrategy(

@@ -145,6 +145,12 @@ def test_drqn_plan_rejections():
     ) is None
     # supported shapes accepted
     assert drqn_plan_for(Chain(LSTM(3, 8), Dense(8, 2)), 8, 8) is not None
+    # non-scalar value head falls back (kernel sums V rows; r3 ADVICE low)
+    from deepqlearning_tpu.models.dueling import DuelingNetwork
+
+    bad = DuelingNetwork(base=Chain(LSTM(3, 8)),
+                         val=Chain(Dense(8, 2)), adv=Chain(Dense(8, 4)))
+    assert drqn_plan_for(bad, 8, 8) is None
 
 
 def test_loop_uses_fused_drqn_when_forced():
@@ -188,3 +194,122 @@ def test_loop_uses_fused_drqn_when_forced():
                         jax.tree_util.tree_leaves(carry.params))
     )
     assert moved
+
+
+@pytest.mark.parametrize("double_q", [True, False])
+@pytest.mark.parametrize("kind", ["plain", "deep", "dueling", "gru",
+                                  "gru_dueling"])
+def test_fused_drqn_grads_match_jax_grad(kind, double_q):
+    """The grads-emitting DRQN kernel (DP composition path) must agree with
+    jax.grad of the XLA recurrent loss — the tight contract that pins the
+    hand-derived BPTT (incl. the GRU r*hh_n coupling) exactly
+    (VERDICT r3 next #1)."""
+    from deepqlearning_tpu.ops.helpers import huber_loss
+    from deepqlearning_tpu.ops.pallas.fused_drqn import fused_drqn_grads
+
+    obs_dim, A, B, T = 5, 4, 16, 6
+    gamma = 0.95
+    net = _nets(obs_dim, A, kind)
+    plan = drqn_plan_for(net, T, B, double_q)
+    assert plan is not None
+    params = net.init(jax.random.PRNGKey(1))
+    tparams = net.init(jax.random.PRNGKey(2))
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    obs = jax.random.normal(ks[0], (B, T, obs_dim))
+    nobs = jax.random.normal(ks[1], (B, T, obs_dim))
+    action = jax.random.randint(ks[2], (B, T), 0, A)
+    reward = jax.random.normal(ks[3], (B, T))
+    done = (jax.random.uniform(ks[4], (B, T)) < 0.2).astype(jnp.float32)
+    # ragged valid-prefix masks, as the episode buffer produces
+    lens = jax.random.randint(ks[5], (B,), 1, T + 1)
+    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
+
+    tm = lambda x: jnp.swapaxes(x, 0, 1)  # [T, B, ...]
+    obs_t, nobs_t = tm(obs), tm(nobs)
+    a_t, r_t, d_t, m_t = tm(action), tm(reward), tm(done), tm(mask)
+    init_state = net.init_state(B)
+    q_sp_tgt_t, _ = net.apply_sequence(tparams, nobs_t, init_state)  # [T,B,A]
+    q_sp_tgt = jnp.transpose(q_sp_tgt_t, (1, 0, 2))                  # [B,T,A]
+
+    def xla_loss(p):
+        if double_q:
+            q_onl_t, _ = net.apply_sequence(p, nobs_t, init_state)
+            best = jnp.argmax(jax.lax.stop_gradient(q_onl_t), axis=-1)
+            q_sp_max = jnp.take_along_axis(
+                q_sp_tgt_t, best[..., None], -1)[..., 0]
+        else:
+            q_sp_max = jnp.max(q_sp_tgt_t, axis=-1)
+        q_targets = jax.lax.stop_gradient(
+            r_t + (1.0 - d_t) * gamma * q_sp_max)
+        q_seq, _ = net.apply_sequence(p, obs_t, init_state)
+        q_sa = jnp.take_along_axis(q_seq, a_t[..., None], -1)[..., 0]
+        td = q_sa - q_targets
+        return jnp.sum(huber_loss(m_t * td)) / B / T
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+    grads, loss, gnorm = fused_drqn_grads(
+        net, plan, params, obs, nobs, action, reward, done, mask, q_sp_tgt,
+        gamma=gamma, double_q=double_q, interpret=True,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    _assert_tree_close(ref_grads, grads, rtol=1e-5, atol=1e-7)
+    from deepqlearning_tpu.ops.helpers import globalnorm
+
+    np.testing.assert_allclose(float(gnorm), float(globalnorm(ref_grads)),
+                               rtol=1e-5)
+
+
+def test_fused_dp_drqn_step_matches_grouped_xla_dp():
+    """The DP fused recurrent step (grads kernel + XLA pmean/Adam) must equal
+    the grouped XLA recurrent DP path on a simulated mesh, with replication
+    preserved (VERDICT r3 missing #1 done-criterion)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from deepqlearning_tpu.learner.train_step import (
+        make_fused_dp_drqn_train_step,
+        make_grouped_drqn_train_step,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs simulated devices")
+    D, obs_dim, A, B, T, U = 4, 5, 4, 8, 6, 2
+    net = _nets(obs_dim, A, "dueling")
+    buf, st = _filled_episode_buffer(obs_dim, B, T, jax.random.PRNGKey(0))
+    params = net.init(jax.random.PRNGKey(1))
+
+    ref_step, ref_opt = make_grouped_drqn_train_step(
+        net, buf, 0.95, True, 1e-2, U, axis_name="d")
+    fus_step, fus_opt = make_fused_dp_drqn_train_step(
+        net, buf, 0.95, True, 1e-2, U, axis_name="d", interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("d",))
+    stack = lambda x: jnp.broadcast_to(x, (D,) + x.shape)
+    st_d = jax.tree_util.tree_map(stack, st)
+    keys = jax.random.split(jax.random.PRNGKey(7), D)
+
+    def run(step_fn, opt):
+        o = opt.init(params)
+
+        # check_vma off: interpret-mode pallas does not propagate varying
+        # axes (see test_fused_update.py; mesh.py does the same)
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), P("d"), P("d")),
+                 out_specs=P("d"), check_vma=False)
+        def one(p, tp, o, s, k):
+            s = jax.tree_util.tree_map(lambda x: x[0], s)
+            res = step_fn(p, tp, o, s, k[0])
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[None], res.params
+            )
+
+        return one(params, params, o, st_d, keys)
+
+    rp = run(ref_step, ref_opt)
+    fp = run(fus_step, fus_opt)
+    _assert_tree_close(rp, fp, rtol=1e-4, atol=1e-6)
+    # replication preserved: every device applied the same pmean'd update
+    leaf = jax.tree_util.tree_leaves(fp)[0]
+    np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(leaf[-1]),
+                               rtol=1e-6)

@@ -112,6 +112,18 @@ def test_plan_for_rejects_unsupported():
     assert plan_for(Chain(Dense(4, 8, jnp.tanh), LSTM(8, 8), Dense(8, 2))) is None
     assert plan_for(Chain(Dense(4, 8, jnp.sin), Dense(8, 2))) is None  # act
     assert plan_for("not a network") is None
+    # a hand-built dueling net whose value head is NOT scalar must fall back:
+    # the kernel reads only V column 0, diverging from apply's broadcast v+a
+    # semantics (r3 ADVICE low)
+    from deepqlearning_tpu.models.dueling import DuelingNetwork
+    from deepqlearning_tpu.models.chain import Flatten
+
+    bad = DuelingNetwork(base=Chain(Flatten()),
+                         val=Chain(Dense(8, 3)), adv=Chain(Dense(8, 4)))
+    assert plan_for(bad) is None
+    good = DuelingNetwork(base=Chain(Flatten()),
+                          val=Chain(Dense(8, 1)), adv=Chain(Dense(8, 4)))
+    assert plan_for(good) is not None
 
 
 @pytest.mark.parametrize("double_q", [True, False])

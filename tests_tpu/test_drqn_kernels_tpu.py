@@ -137,3 +137,73 @@ def test_fused_drqn_single_update_tight_on_tpu():
                     jax.tree_util.tree_leaves(f.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-5)
+
+
+# tight grads contracts: dueling / double-Q / LSTM / GRU BPTT vs jax.grad at
+# rtol 1e-4 on real Mosaic — would catch a one-gate BPTT bug (VERDICT r3 #1)
+GRAD_CASES = [
+    # (obs_dim, A, B, T, kind, double_q)
+    (2, 4, 512, 8, "plain", True),      # LSTM, double-Q, bench shape
+    (2, 4, 512, 8, "dueling", True),    # dueling heads
+    (2, 4, 512, 8, "gru", True),        # GRU BPTT incl. the r*hh_n coupling
+    (5, 6, 128, 8, "deep", True),       # pre-LSTM dense, A != 4
+    (2, 4, 512, 8, "plain", False),     # single-Q
+]
+
+
+@pytest.mark.parametrize("obs_dim,A,B,T,kind,double_q", GRAD_CASES)
+def test_fused_drqn_grads_tight_on_tpu(obs_dim, A, B, T, kind, double_q):
+    """The grads-emitting DRQN kernel vs jax.grad of the XLA recurrent loss
+    at rtol 1e-4 ON the chip — the DRQN analog of
+    test_kernels_tpu.py::test_fused_grads_tight_on_tpu."""
+    from deepqlearning_tpu.ops.helpers import huber_loss
+    from deepqlearning_tpu.ops.pallas.fused_drqn import fused_drqn_grads
+
+    gamma = 0.95
+    net = _nets(obs_dim, A, kind)
+    plan = drqn_plan_for(net, T, B, double_q)
+    assert plan is not None
+    params = net.init(jax.random.PRNGKey(1))
+    tparams = net.init(jax.random.PRNGKey(2))
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    obs = jax.random.normal(ks[0], (B, T, obs_dim))
+    nobs = jax.random.normal(ks[1], (B, T, obs_dim))
+    action = jax.random.randint(ks[2], (B, T), 0, A)
+    reward = jax.random.normal(ks[3], (B, T))
+    done = (jax.random.uniform(ks[4], (B, T)) < 0.2).astype(jnp.float32)
+    lens = jax.random.randint(ks[5], (B,), 1, T + 1)
+    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
+
+    tm = lambda x: jnp.swapaxes(x, 0, 1)
+    obs_t, nobs_t = tm(obs), tm(nobs)
+    a_t, r_t, d_t, m_t = tm(action), tm(reward), tm(done), tm(mask)
+    init_state = net.init_state(B)
+    q_sp_tgt_t, _ = net.apply_sequence(tparams, nobs_t, init_state)
+    q_sp_tgt = jnp.transpose(q_sp_tgt_t, (1, 0, 2))
+
+    def xla_loss(p):
+        if double_q:
+            q_onl_t, _ = net.apply_sequence(p, nobs_t, init_state)
+            best = jnp.argmax(jax.lax.stop_gradient(q_onl_t), axis=-1)
+            q_sp_max = jnp.take_along_axis(
+                q_sp_tgt_t, best[..., None], -1)[..., 0]
+        else:
+            q_sp_max = jnp.max(q_sp_tgt_t, axis=-1)
+        q_targets = jax.lax.stop_gradient(
+            r_t + (1.0 - d_t) * gamma * q_sp_max)
+        q_seq, _ = net.apply_sequence(p, obs_t, init_state)
+        q_sa = jnp.take_along_axis(q_seq, a_t[..., None], -1)[..., 0]
+        td = q_sa - q_targets
+        return jnp.sum(huber_loss(m_t * td)) / B / T
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(xla_loss))(params)
+    grads, loss, gnorm = jax.jit(
+        lambda p: fused_drqn_grads(
+            net, plan, p, obs, nobs, action, reward, done, mask, q_sp_tgt,
+            gamma=gamma, double_q=double_q, interpret=False)  # REAL Mosaic
+    )(params)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(ref_grads),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
