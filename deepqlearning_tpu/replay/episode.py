@@ -1,27 +1,44 @@
 """Episode replay buffer for recurrent DRQN — time-ring layout, zero scatters
-on the hot path.
+on the hot path, window sampling as ONE sliced gather.
 
 The reference stores whole variable-length episodes and cuts random
 ``trace_length`` windows at sample time (``src/episode_replay.jl``). A naive
 static-shape port (per-env accumulator rows + row scatters on commit) costs
 milliseconds per step on TPU — scatters serialize. Instead, transitions
-stream into a **time-major ring** ``[R, E, ...]``: every lockstep step
-writes row ``t % R`` for all envs — and because the time axis is MAJOR, that
-row is one contiguous slab regardless of which layout XLA picks for the
-sample-time gathers. (Round 3 traced the env-major ``[E, R]`` variant on a
-real chip: the window gather made XLA lay the ring out R-minor, turning the
-per-step column write into 16K scattered 4-byte stores at 1.6 ms per field —
-3.2 ms of a 5.1 ms iteration. Time-major makes the write layout-proof.)
-Episodes are just ``(start, length)`` records in a small per-env index ring,
-written with an E-element scalar scatter only when episodes end. Windows are
-gathered at sample time (sampling is gather-bound anyway). This is the
-R2D2-style sequence-replay layout.
+stream into a **time-major ring** ``[R, E, F]``: every lockstep step writes
+row ``t % R`` for all envs — and because the time axis is MAJOR, that row is
+one contiguous slab regardless of which layout XLA picks for the sample-time
+gathers. (Round 3 traced the env-major ``[E, R]`` variant on a real chip:
+the window gather made XLA lay the ring out R-minor, turning the per-step
+column write into 16K scattered 4-byte stores at 1.6 ms per field — 3.2 ms
+of a 5.1 ms iteration. Time-major makes the write layout-proof.)
 
+Round-4 layout (the r3 profile showed the [U*B, T] window gather at ~45% of
+the DRQN iteration):
+
+  * ALL fields share one f32 ring ``[R + T - 1, E, 2*prod(obs) + 4]``
+    (``obs | next_obs | action, reward, done, pad``). Gather cost on this
+    chip is per GATHER OP x per INDEX (measured: one merged slice-gather
+    160 us vs two separate 302 us vs six 1 ms at the bench draw), so fewer
+    gathers of wider rows win twice.
+  * The ring carries ``T - 1`` SHADOW rows mirroring rows ``0..T-2`` (each
+    step writes its row, and its shadow copy when ``t % R < T-1``), so every
+    trace window is a CONTIGUOUS ``[T]`` slice mod-free — sampling becomes a
+    single ``lax.gather`` with ``slice_sizes=(T, 1, F)``: U*B indices instead
+    of U*B*T row indices (measured 343 -> 160 us at 2048 windows x T=8).
+
+Episodes are just ``(start, length)`` records in a small per-env index ring,
+updated with a one-hot select over the M record columns (scatter-free).
 Window semantics match ``src/episode_replay.jl:71-95``: uniform episode,
 random start offset, zero-padded ``trace_length`` window with a validity
 mask. Records whose data has been overwritten by the ring are remapped to
 the env's most recent episode (documented deviation; with default sizing the
 ring holds the full episode capacity so this only triggers after wraparound).
+
+Storage dtype: the merged ring is float32 (reward/done live next to obs).
+Narrow ``obs_dtype`` requests (e.g. uint8 images) are honored by quantizing
+obs through ``obs_dtype`` on insert, but the ring itself stays f32 — the
+``max_ring_bytes`` cap still bounds memory by shrinking the ring.
 """
 from __future__ import annotations
 
@@ -45,13 +62,10 @@ class EpisodeBatch(NamedTuple):
 
 
 class EpisodeReplayState(NamedTuple):
-    # streamed transitions, time-major rings (see module docstring), PACKED:
-    # (obs, next_obs) share one array and (action, reward, done) another, so
-    # window sampling is 2 gathers instead of 6 — row-gathers on TPU cost
-    # per ROW (~13 ns), not per byte, and the window gather was 44% of the
-    # DRQN iteration at round-3 HEAD (same packing as ReplayState)
-    pair: jnp.ndarray      # [R, E, 2, *obs_shape] — [..., 0, :]=obs, 1=next
-    ard: jnp.ndarray       # [R, E, 4] f32 — action, reward, done, pad
+    # streamed transitions: ONE merged f32 time-major ring with T-1 shadow
+    # rows (see module docstring); feature layout per env:
+    # [obs (no) | next_obs (no) | action, reward, done, pad]
+    data: jnp.ndarray      # [R + T - 1, E, 2*no + 4] f32
     # episode index: per-env ring of (start, length) records
     ep_start: jnp.ndarray  # [E, M] int32 — global step of episode start
     ep_len: jnp.ndarray    # [E, M] int32
@@ -93,6 +107,8 @@ class EpisodeReplayBuffer:
         self.max_episode_length = int(max_episode_length)
         self.num_envs = int(num_envs)
         self.obs_dtype = obs_dtype
+        self.no = _prod(self.obs_shape)
+        self.F = 2 * self.no + 4
         # per-env episode-record slots; aggregate record capacity >= max_size
         self.records_per_env = max(2, -(-self.max_size // self.num_envs))
         # time ring must hold max_size episodes' worth of steps per env (and
@@ -102,13 +118,13 @@ class EpisodeReplayBuffer:
             max(2 * self.max_episode_length,
                 self.records_per_env * self.max_episode_length)
         )
-        # memory cap: the ring stores obs + next_obs per slot per env, which
-        # for image observations at the default buffer_size=1000/num_envs=1
-        # would be 131072 slots/env — GBs. Cap the ring at ``max_ring_bytes``
-        # (stale episode records remap to the env's newest episode, so a
-        # smaller ring only means earlier wraparound, not corruption).
-        slot_bytes = (2 * _prod(self.obs_shape) * jnp.dtype(obs_dtype).itemsize
-                      + 16)
+        # memory cap: the merged ring stores obs + next_obs + scalars per
+        # slot per env in f32, which for image observations at the default
+        # buffer_size=1000/num_envs=1 would be 131072 slots/env — GBs. Cap
+        # the ring at ``max_ring_bytes`` (stale episode records remap to the
+        # env's newest episode, so a smaller ring only means earlier
+        # wraparound, not corruption).
+        slot_bytes = self.F * 4
         min_ring = _pow2(2 * self.max_episode_length)
         while (self.ring > min_ring
                and self.num_envs * self.ring * slot_bytes > max_ring_bytes):
@@ -124,11 +140,9 @@ class EpisodeReplayBuffer:
             )
 
     def init(self) -> EpisodeReplayState:
-        E, R, M = self.num_envs, self.ring, self.records_per_env
-        oshape, dt = self.obs_shape, self.obs_dtype
+        E, R, M, T = self.num_envs, self.ring, self.records_per_env, self.trace_length
         return EpisodeReplayState(
-            pair=jnp.zeros((R, E, 2) + oshape, dt),
-            ard=jnp.zeros((R, E, 4), jnp.float32),
+            data=jnp.zeros((R + T - 1, E, self.F), jnp.float32),
             ep_start=jnp.zeros((E, M), jnp.int32),
             ep_len=jnp.zeros((E, M), jnp.int32),
             rec_count=jnp.zeros((E,), jnp.int32),
@@ -140,41 +154,52 @@ class EpisodeReplayBuffer:
     def add_step(
         self, state: EpisodeReplayState, batch: TransitionBatch, ended: jnp.ndarray
     ) -> EpisodeReplayState:
-        """Append one lockstep transition per env (one slice DMA per field);
-        envs whose episode ``ended`` commit an index record.
+        """Append one lockstep transition per env (one merged slab DMA, plus
+        its shadow copy); envs whose episode ``ended`` commit an index record
+        via a one-hot select (scatter-free).
 
         Analog of ``add_exp!`` + ``add_episode!`` (``src/episode_replay.jl:46-60``).
         """
-        E, R, M = self.num_envs, self.ring, self.records_per_env
+        E, R, M, T = self.num_envs, self.ring, self.records_per_env, self.trace_length
         k = state.t % R
 
-        def put(buf, val):
-            # row k of the time-major ring: one contiguous [1, E, ...] slab
-            return jax.lax.dynamic_update_slice(
-                buf, val[None].astype(buf.dtype),
-                (k,) + (jnp.asarray(0, jnp.int32),) * (buf.ndim - 1),
-            )
+        def store_obs(x):
+            x = x.reshape(E, self.no)
+            if self.obs_dtype != jnp.float32:
+                x = x.astype(self.obs_dtype)  # quantize as requested
+            return x.astype(jnp.float32)
 
-        pair = put(state.pair, jnp.stack([batch.obs, batch.next_obs], axis=1))
-        ard = put(state.ard, jnp.stack(
-            [batch.action.astype(jnp.float32),
-             batch.reward.astype(jnp.float32),
-             batch.done.astype(jnp.float32),
-             jnp.zeros_like(batch.reward, jnp.float32)], axis=1))
+        row = jnp.concatenate(
+            [
+                store_obs(batch.obs),
+                store_obs(batch.next_obs),
+                jnp.stack(
+                    [batch.action.astype(jnp.float32),
+                     batch.reward.astype(jnp.float32),
+                     batch.done.astype(jnp.float32),
+                     jnp.zeros_like(batch.reward, jnp.float32)], axis=1),
+            ],
+            axis=1,
+        )  # [E, F]
+        zero = jnp.asarray(0, jnp.int32)
+        data = jax.lax.dynamic_update_slice(state.data, row[None], (k, zero, zero))
+        # shadow mirror: rows 0..T-2 live again at R..R+T-2 so sample-time
+        # windows are contiguous [T] slices; when k >= T-1 this re-writes
+        # row k (a harmless duplicate — cheaper than a branch)
+        k2 = jnp.where(k < T - 1, R + k, k)
+        data = jax.lax.dynamic_update_slice(data, row[None], (k2, zero, zero))
 
         ended = ended.astype(jnp.bool_)
         new_len = state.cur_len + 1
         start = state.t - new_len + 1
-        rows = jnp.arange(E)
-        slot = jnp.where(ended, state.rec_count % M, M)  # M = dropped column
-        ep_start = jnp.concatenate(
-            [state.ep_start, jnp.zeros((E, 1), jnp.int32)], axis=1
-        ).at[rows, slot].set(start)[:, :M]
-        ep_len = jnp.concatenate(
-            [state.ep_len, jnp.zeros((E, 1), jnp.int32)], axis=1
-        ).at[rows, slot].set(new_len)[:, :M]
+        # one-hot select over the M record columns: ended envs write record
+        # slot rec_count % M; others match no column (slot = M)
+        slot = jnp.where(ended, state.rec_count % M, M)
+        sel = jnp.arange(M)[None, :] == slot[:, None]          # [E, M]
+        ep_start = jnp.where(sel, start[:, None], state.ep_start)
+        ep_len = jnp.where(sel, new_len[:, None], state.ep_len)
         return EpisodeReplayState(
-            pair=pair, ard=ard,
+            data=data,
             ep_start=ep_start, ep_len=ep_len,
             rec_count=state.rec_count + ended.astype(jnp.int32),
             cur_len=jnp.where(ended, 0, new_len),
@@ -203,13 +228,13 @@ class EpisodeReplayBuffer:
         return self._sample_batch(state, key, self.batch_size)
 
     def sample_n(self, state: EpisodeReplayState, key, n_batches: int):
-        """Draw ``n_batches * batch_size`` windows in ONE gather.
+        """Draw ``n_batches * batch_size`` windows in ONE sliced gather.
 
         The grouped DRQN train step shares a single episode-index draw and
         window gather across its sub-updates (same amortization as
-        ``PrioritizedReplayBuffer.sample_n`` — the [nB, T, obs] row gather is
-        the latency-bound part). Returns an EpisodeBatch with a flat
-        ``[n * B]`` leading axis; the caller de-interleaves stride-``n``.
+        ``PrioritizedReplayBuffer.sample_n`` — the window gather is the
+        latency-bound part). Returns an EpisodeBatch with a flat ``[n * B]``
+        leading axis; the caller de-interleaves stride-``n``.
         """
         return self._sample_batch(state, key, self.batch_size * n_batches)
 
@@ -232,21 +257,31 @@ class EpisodeReplayBuffer:
         length = jnp.maximum(state.ep_len[env, rec], 1)
 
         u = jax.random.randint(k_start, (B,), 0, jnp.asarray(1 << 30)) % length
-        offs = u[:, None] + jnp.arange(T)[None, :]          # [B, T]
-        valid = offs < length[:, None]
-        trow = (start[:, None] + offs) % R                   # time index [B, T]
-        ecol = env[:, None]                                  # env index  [B, 1]
+        valid = jnp.arange(T)[None, :] < (length - u)[:, None]   # [B, T]
         mask = valid.astype(jnp.float32)
 
-        pair = state.pair[trow, ecol].astype(jnp.float32)    # [B, T, 2, *obs]
-        ard = state.ard[trow, ecol]                          # [B, T, 4]
-        pair = pair * mask.reshape(mask.shape + (1,) * (pair.ndim - 2))
-        ard = ard * mask[..., None]
+        # window = T CONTIGUOUS ring rows starting at (start+u) % R (the
+        # shadow rows make the wrap-around contiguous): one sliced gather
+        # with B indices instead of B*T row indices
+        t0 = (start + u) % R
+        idx = jnp.stack([t0, env], axis=-1)                      # [B, 2]
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        win = jax.lax.gather(
+            state.data, idx, dnums, slice_sizes=(T, 1, self.F),
+            mode="promise_in_bounds",
+        )[:, :, 0]                                               # [B, T, F]
+        win = win * mask[..., None]
+        no = self.no
+        oshape = (B, T) + self.obs_shape
         return EpisodeBatch(
-            obs=pair[:, :, 0],
-            action=ard[..., 0].astype(jnp.int32),
-            reward=ard[..., 1],
-            next_obs=pair[:, :, 1],
-            done=ard[..., 2],
+            obs=win[..., :no].reshape(oshape),
+            action=win[..., 2 * no].astype(jnp.int32),
+            reward=win[..., 2 * no + 1],
+            next_obs=win[..., no:2 * no].reshape(oshape),
+            done=win[..., 2 * no + 2],
             mask=mask,
         )
