@@ -67,16 +67,20 @@ def _make_batch_update(network, buffer, gamma, double_q, optimizer,
     (params, opt_state, td, prio_or_None, loss, grad_norm)``.
     """
     B = buffer.batch_size
+    # double-Q needs the online net on s' for the argmax only (stop-grad,
+    # src/solver.jl:209-213). Two regimes:
+    #  * small models (tiny obs): CONCAT s and s' into one traversal inside
+    #    the tape — halves the number of latency-bound small-matmul launches
+    #    in the serial update chain; the extra backward rows are noise.
+    #  * big models (conv/image obs): the concat would run the BACKWARD over
+    #    2B rows (the s' rows carry zero cotangent but XLA still computes
+    #    them) — measured 7.8 ms vs 4.2 ms per U=8 group at the conv-bench
+    #    shape. Run the s' forward OUTSIDE the tape instead (grad-free by
+    #    construction), so backward cost stays at B rows.
+    concat_sp = double_q and getattr(buffer, "no", 1 << 30) <= 256
 
     def _q_pair(p, batch):
-        """Online-net Q(s) and stop-grad Q(s') in ONE chain traversal.
-
-        The online net is needed on both s (differentiated) and s' (double-Q
-        argmax, stop-gradient). Concatenating the batches halves the number
-        of latency-bound small matmul launches in the serial update chain;
-        ``stop_gradient`` keeps the outside-the-tape target semantics of the
-        reference (``src/solver.jl:209-217``) exactly.
-        """
+        """Online-net Q(s) and stop-grad Q(s') in ONE chain traversal."""
         if not double_q:
             q, _ = network.apply(p, batch.obs)
             return q, None
@@ -89,12 +93,21 @@ def _make_batch_update(network, buffer, gamma, double_q, optimizer,
                q_sp_tgt=None):
         if q_sp_tgt is None:
             q_sp_tgt, _ = network.apply(target_params, batch.next_obs)
+        q_sp_out = None
+        if double_q and not concat_sp:
+            # outside-the-tape online s' forward (stop-gradient semantics
+            # exactly: computed from `params`, constant w.r.t. loss_fn's p)
+            q_sp_out, _ = network.apply(params, batch.next_obs)
 
         if use_pallas:
             from ..ops.pallas.td_kernel import td_loss_fused
 
             def loss_fn(p):
-                q, q_sp_onl = _q_pair(p, batch)
+                if q_sp_out is not None:
+                    q, _ = network.apply(p, batch.obs)
+                    q_sp_onl = q_sp_out
+                else:
+                    q, q_sp_onl = _q_pair(p, batch)
                 if q_sp_onl is None:
                     q_sp_onl = q_sp_tgt  # unused by the kernel's max path
                 # the kernel's custom VJP is f32-typed; bf16 networks cast
@@ -113,7 +126,11 @@ def _make_batch_update(network, buffer, gamma, double_q, optimizer,
         else:
 
             def loss_fn(p):
-                q, q_sp_onl = _q_pair(p, batch)
+                if q_sp_out is not None:
+                    q, _ = network.apply(p, batch.obs)
+                    q_sp_onl = q_sp_out
+                else:
+                    q, q_sp_onl = _q_pair(p, batch)
                 if double_q:
                     best = jnp.argmax(q_sp_onl, axis=-1)
                     q_sp_max = jnp.take_along_axis(
@@ -209,7 +226,7 @@ def make_grouped_dqn_train_step(network, buffer, gamma: float, double_q: bool,
 
         # [U*B] → [U, B]: stride-U de-interleave so consecutive strata go to
         # different sub-batches (sub-batch u takes draws u, u+U, u+2U, …)
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         batches = jax.tree_util.tree_map(de, batch)
         w_u = de(weights)
         q_sp_tgt_u = de(q_sp_tgt_all)
@@ -229,7 +246,7 @@ def make_grouped_dqn_train_step(network, buffer, gamma: float, double_q: bool,
         )
 
         # merged priority update: re-interleave back to draw order
-        re = lambda x: jnp.swapaxes(x, 0, 1).reshape((U * B,) + x.shape[2:])
+        re = lambda x: x.reshape((U * B,) + x.shape[2:])  # u-major flat order
         replay_state = buffer.update_priorities(
             replay_state, idx, re(tds),
             priorities=re(prios) if use_pallas else None,
@@ -287,7 +304,7 @@ def make_fused_grouped_train_step(network, buffer, gamma: float,
         q_sp_tgt_all, _ = network.apply(target_params, batch.next_obs)
 
         # [U*B] -> [U, B] stride-U de-interleave (see grouped step above)
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         obs_u = de(batch.obs).reshape(U, B, -1)
         w_u = de(weights)
         q_sp_tgt_u = de(q_sp_tgt_all)
@@ -305,7 +322,7 @@ def make_fused_grouped_train_step(network, buffer, gamma: float,
             alpha=buffer.alpha, eps=buffer.eps, batch_size=B,
             interpret=interpret,
         )
-        re = lambda x: jnp.swapaxes(x, 0, 1).reshape((U * B,) + x.shape[2:])
+        re = lambda x: x.reshape((U * B,) + x.shape[2:])  # u-major flat order
         replay_state = buffer.update_priorities(
             replay_state, idx, re(tds), priorities=re(prios)
         )
@@ -344,7 +361,7 @@ def make_fused_dp_train_step(network, buffer, gamma: float, double_q: bool,
         q_sp_tgt_all, _ = network.apply(target_params, batch.next_obs)
 
         # [U*B] -> [U, B] stride-U de-interleave (see grouped step above)
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         obs_u = de(batch.obs).reshape(U, B, -1)
         nobs_u = de(batch.next_obs).reshape(U, B, -1)
         xs = (obs_u, nobs_u, de(batch.action), de(batch.reward),
@@ -367,7 +384,7 @@ def make_fused_dp_train_step(network, buffer, gamma: float, double_q: bool,
         (params, opt_state), (tds, prios, losses, gnorms) = jax.lax.scan(
             body, (params, opt_state), xs
         )
-        re = lambda x: jnp.swapaxes(x, 0, 1).reshape((U * B,) + x.shape[2:])
+        re = lambda x: x.reshape((U * B,) + x.shape[2:])  # u-major flat order
         replay_state = buffer.update_priorities(
             replay_state, idx, re(tds), priorities=re(prios)
         )
@@ -420,10 +437,10 @@ def make_fused_grouped_drqn_train_step(network, buffer, gamma: float,
         # [T, U*B, A] -> [U, B, T, A] (sample_n's flat order is b-major:
         # flat index i -> (b = i // U, u = i % U))
         q_sp_tgt = jnp.transpose(
-            q_tgt_seq.reshape(T, B, U, A), (2, 1, 0, 3)
+            q_tgt_seq.reshape(T, U, B, A), (1, 2, 0, 3)
         )
 
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         p, m, v, count, loss, gnorm = fused_drqn_group_update(
             network, plan, params, opt_state.m, opt_state.v, opt_state.count,
             de(batch.obs), de(batch.next_obs), de(batch.action),
@@ -473,10 +490,10 @@ def make_fused_dp_drqn_train_step(network, buffer, gamma: float,
         q_tgt_seq, _ = network.apply_sequence(target_params, nobs_t, init_state)
         A = q_tgt_seq.shape[-1]
         q_sp_tgt = jnp.transpose(
-            q_tgt_seq.reshape(T, B, U, A), (2, 1, 0, 3)
+            q_tgt_seq.reshape(T, U, B, A), (1, 2, 0, 3)
         )  # [U, B, T, A]
 
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         xs = (de(batch.obs), de(batch.next_obs), de(batch.action),
               de(batch.reward), de(batch.done), de(batch.mask), q_sp_tgt)
 
@@ -596,7 +613,7 @@ def make_grouped_drqn_train_step(network, buffer, gamma: float,
     def step(params, target_params, opt_state, replay_state, key):
         batch = buffer.sample_n(replay_state, key, U)
         # [U*B, T, ...] → [U, B, T, ...] stride-U de-interleave
-        de = lambda x: jnp.swapaxes(x.reshape((B, U) + x.shape[1:]), 0, 1)
+        de = lambda x: x.reshape((U, B) + x.shape[1:])  # u-major sample_n
         batches = jax.tree_util.tree_map(de, batch)
 
         def body(carry, b):

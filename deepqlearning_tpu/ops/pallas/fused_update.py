@@ -450,6 +450,7 @@ def fused_group_update(network, plan: FusedPlan, params, m, v, count,
     # s and s' stay separate [U, Bp, D0p] tensors — the kernel runs the
     # forward once per block (concatenated-block row slicing SIGABRTed
     # Mosaic, see _make_kernel)
+    obs_cat = obs_cat.astype(jnp.float32)  # bf16 replay storage upcasts here
     obs_s = jnp.pad(obs_cat[:, :B], ((0, 0), (0, Bp - B), (0, D0p - D0)))
     obs_sp = (jnp.pad(obs_cat[:, B:], ((0, 0), (0, Bp - B), (0, D0p - D0)))
               if double_q else None)
@@ -597,7 +598,8 @@ def fused_grads(network, plan: FusedPlan, params, obs_s, obs_sp, action,
     D0, D0p = plan.in_dim, plan.in_dim_p
     A, Ap = plan.num_actions, plan.num_actions_p
 
-    pad2 = lambda x: jnp.pad(x, ((0, Bp - B), (0, D0p - D0)))
+    pad2 = lambda x: jnp.pad(
+        x.astype(jnp.float32), ((0, Bp - B), (0, D0p - D0)))
     obs_s_p = pad2(obs_s.reshape(B, -1))
     obs_sp_p = pad2(obs_sp.reshape(B, -1)) if double_q else None
     pad1 = lambda x, fill=0.0: jnp.pad(

@@ -152,22 +152,39 @@ def run_one(dtype_name):
         # on the tunneled backend, see bench.py)
 
     carry = populate(carry)
-    for _ in range(2):
-        carry = run(carry)
-        sync(carry)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        carry = run(carry)
-        sync(carry)
-        best = min(best, time.perf_counter() - t0)
+
+    # two-point slope: the tunneled backend costs ~25-40 ms PER LAUNCH; a
+    # single-point measurement at small n absorbs that as a fake per-iter
+    # cost (r3's 40.6 TFLOP/s number was polluted this way — see
+    # scripts/r4/conv_profile.py). t(n2)-t(n1) cancels it exactly.
+    n2 = 4 * n_iters
+
+    @jax.jit
+    def run2(carry):
+        carry, _ = jax.lax.scan(iteration, carry, None, length=n2)
+        return carry
+
+    def best_of(fn):
+        out = fn(carry)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(carry)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(run)
+    t2 = best_of(run2)
+    per_iter = (t2 - t1) / (n2 - n_iters)
 
     U = cfg.updates_per_iter
     collect_fl = cfg.env_steps_per_iter * flops
     train_fl = U * batch_size * 5 * flops
-    total_fl = n_iters * (collect_fl + train_fl)
-    achieved = total_fl / best
-    steps = n_iters * cfg.env_steps_per_iter
+    achieved = (collect_fl + train_fl) / per_iter
+    steps = cfg.env_steps_per_iter
+    best = per_iter  # steps/best below stays per-iteration
     print(json.dumps({
         "metric": "conv_model_flops",
         "value": round(achieved / 1e12, 2),
@@ -175,7 +192,7 @@ def run_one(dtype_name):
         "dtype": dtype_name,
         "mfu_vs_v5e_bf16_peak": round(achieved / V5E_PEAK_BF16, 4),
         "env_steps_per_s": round(steps / best, 1),
-        "updates_per_s": round(n_iters * U / best, 1),
+        "updates_per_s": round(U / best, 1),
         "fwd_flops_per_sample": flops,
         "config": (f"{num_envs} envs, obs (20,20,4), conv 32-64-128 + "
                    f"dueling dense 3200-512-|A|, batch {batch_size}, "

@@ -394,7 +394,7 @@ def test_without_replacement_grouped_draws_are_per_subbatch():
     idx = np.asarray(idx)
     assert idx.shape == (U * 8,)
     for u in range(U):
-        sub = idx[u::U]  # caller's stride-U de-interleave
+        sub = idx[u * 8:(u + 1) * 8]  # u-major contract: reshape(U, B)[u]
         assert sorted(sub.tolist()) == list(range(8)), sub
     assert np.isfinite(np.asarray(w)).all()
 
