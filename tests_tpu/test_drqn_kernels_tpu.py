@@ -115,7 +115,12 @@ def test_fused_drqn_compiles_and_matches_on_tpu(obs_dim, A, B, T, U, kind,
     rres = jax.jit(ref_step)(params, params, ref_opt.init(params), st, k)
     fres = jax.jit(fus_step)(params, params, fus_opt.init(params), st, k)
     np.testing.assert_allclose(float(rres.loss), float(fres.loss), rtol=2e-2)
-    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=5e-2)
+    # budgets set from data (scripts/r4/tolerance_measure.py, 6 seeds at the
+    # bench shape): worst observed max-diff 0.0019, worst frac>2e-3 0% —
+    # budgeted at ~5x observed to cover the dueling/deep/gru variants too
+    # (VERDICT r3 next #7; was atol 2e-3 / max_abs 5e-2 / frac 2%)
+    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=1e-2,
+                         max_frac=0.01)
 
 
 def test_fused_drqn_single_update_tight_on_tpu():

@@ -111,7 +111,12 @@ def test_fused_update_compiles_and_matches_on_tpu(obs_dim, A, B, U, dueling,
     # elements by O(lr) and compound over the U sub-updates, so the on-device
     # contract is bulk-distribution agreement, not allclose
     np.testing.assert_allclose(float(rres.loss), float(fres.loss), rtol=2e-2)
-    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=5e-2)
+    # budgets set from data (scripts/r4/tolerance_measure.py, 6 seeds at the
+    # bench shape): worst observed max-diff 0.021, worst frac>2e-3 0.49% —
+    # budgeted at ~1.5-2x observed for chip/compiler-revision headroom
+    # (VERDICT r3 next #7; was atol 2e-3 / max_abs 5e-2 / frac 2%)
+    _params_mostly_close(rres.params, fres.params, atol=2e-3, max_abs=3e-2,
+                         max_frac=0.01)
     # priorities: same bulk contract (|td|+eps)^alpha after U sub-updates
     tr = np.asarray(rres.replay_state.tree[0])
     tf = np.asarray(fres.replay_state.tree[0])
