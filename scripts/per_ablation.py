@@ -144,6 +144,22 @@ def main():
                                       round(diff + tcrit * se, 1)]
         out[name]["stt_min_detectable_effect"] = round(
             (tcrit + t_quantile(0.80, df)) * se, 1)
+        # PAIRED analysis: both modes run the SAME seeds, so per-seed
+        # differences cancel the shared seed variance wherever crossing
+        # times correlate across modes (r4: corr 0.58 on TestMDP -> MDE
+        # shrinks 360 -> 236 steps; corr ~0 on GridWorld -> no gain)
+        d_p = a - b
+        n_p = len(d_p)
+        se_p = float(d_p.std(ddof=1) / np.sqrt(n_p))
+        t_p = t_quantile(0.975, n_p - 1)
+        out[name]["paired"] = {
+            "corr": round(float(np.corrcoef(a, b)[0, 1]), 3),
+            "diff_mean": round(float(d_p.mean()), 1),
+            "ci95": [round(float(d_p.mean()) - t_p * se_p, 1),
+                     round(float(d_p.mean()) + t_p * se_p, 1)],
+            "min_detectable_effect": round(
+                (t_p + t_quantile(0.80, n_p - 1)) * se_p, 1),
+        }
     print(json.dumps({"metric": "per_sampler_ablation",
                       "seeds": list(seeds), "results": out}))
 

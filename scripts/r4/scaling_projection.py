@@ -53,13 +53,20 @@ T_ITER_US = 131072 / 104.8e6 * 1e6
 
 
 def collect_allreduces(hlo_text):
-    """-> list of (dtype, elems) for every all-reduce in the compiled HLO."""
+    """-> list of (dtype, elems) for every all-reduce in the compiled HLO.
+
+    Line-based: parse the result shape(s) on the lhs of `... = <shapes>
+    all-reduce(...)` (handles tuple-shaped combined all-reduces). A
+    backtracking whole-text regex here hung for minutes on ~1 MB of HLO.
+    """
     out = []
-    # matches e.g. %all-reduce.5 = f32[8837]{0} all-reduce(...)
-    # and tuple-shaped all-reduces: (f32[192]{0}, f32[4160]{0}, ...) all-reduce
-    for m in re.finditer(r"= ?\(?((?:[a-z0-9]+\[[0-9,]*\][^)]*?)+)\)? all-reduce", hlo_text):
-        shapes = re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", m.group(1))
-        for dt, dims in shapes:
+    for line in hlo_text.splitlines():
+        if " all-reduce(" not in line and " all-reduce-start(" not in line:
+            continue
+        lhs = line.split(" all-reduce", 1)[0]
+        if "=" in lhs:
+            lhs = lhs.split("=", 1)[1]
+        for dt, dims in re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", lhs):
             elems = 1
             for d in dims.split(","):
                 if d:
@@ -85,7 +92,7 @@ def main():
     # small per-device env count — collective shapes depend only on U and
     # the parameter count
     cfg = DQNConfig(
-        num_envs=4096, batch_size=512, buffer_size=1 << 15, train_freq=128,
+        num_envs=512, batch_size=512, buffer_size=1 << 14, train_freq=16,
         max_episode_length=100, double_q=True, dueling=True,
         prioritized_replay=True,
     )
@@ -100,20 +107,24 @@ def main():
     compiled = runner.run_segment.lower(carry, 1).compile()
     hlo = compiled.as_text()
 
+    U = cfg.updates_per_iter
     ars = collect_allreduces(hlo)
-    n_ar = len(ars)
-    total_bytes = sum(DTYPE_BYTES.get(dt, 4) * e for dt, e in ars)
+    # the grad pmean sits INSIDE the lax.scan over the U sub-updates: it
+    # appears once in the HLO but executes U times per iteration
+    n_static = len(ars)
     grad_ars = [(dt, e) for dt, e in ars if e > 64]
-    scalar_ars = n_ar - len(grad_ars)
-    grad_bytes = sum(DTYPE_BYTES.get(dt, 4) * e for dt, e in grad_ars)
+    scalar_static = n_static - len(grad_ars)
+    grad_bytes_per_ar = sum(DTYPE_BYTES.get(dt, 4) * e for dt, e in grad_ars)
+    n_dynamic_grad = U * max(len(grad_ars), 1)
+    grad_bytes = grad_bytes_per_ar  # per all-reduce invocation
 
     # ---- projection scenarios (explicit assumptions) ----
     # Per-chip iteration time is the measured single-chip headline number;
     # weak scaling (131072 envs PER CHIP). The U=32 grad pmeans are strictly
     # serialized by the Adam chain, so no overlap is assumed (conservative).
     def project(name, n_chips, hop_lat_us, n_hops, bw_gbps, note):
-        n_allreduce = len(grad_ars)
-        bytes_per = grad_bytes / max(n_allreduce, 1)
+        n_allreduce = n_dynamic_grad
+        bytes_per = grad_bytes_per_ar / max(len(grad_ars), 1)
         t_coll = n_allreduce * (
             hop_lat_us * n_hops
             + 2.0 * bytes_per * (n_chips - 1) / n_chips / bw_gbps / 1e3
@@ -163,13 +174,16 @@ def main():
                       "2-64-64-|A| (8837 params)",
         },
         "hlo_collectives_per_iteration": {
-            "total_allreduce_ops": n_ar,
-            "grad_allreduce_ops": len(grad_ars),
-            "scalar_allreduce_ops": scalar_ars,
-            "grad_allreduce_bytes": grad_bytes,
-            "total_allreduce_bytes": total_bytes,
+            "static_allreduce_ops_in_hlo": n_static,
+            "grad_allreduce_ops_static": len(grad_ars),
+            "scalar_allreduce_ops_static": scalar_static,
+            "bytes_per_grad_allreduce": grad_bytes_per_ar,
+            "dynamic_grad_allreduces_per_iteration": n_dynamic_grad,
+            "dynamic_grad_bytes_per_iteration": grad_bytes_per_ar * U,
             "source": "post-SPMD HLO of DataParallelRunner.run_segment, "
-                      "8-device mesh, scan length 1",
+                      "8-device mesh, scan length 1; the grad pmean sits "
+                      "inside the U-sub-update scan (1 static op, U dynamic "
+                      "executions)",
         },
         "projections": scenarios,
         "baseline_target": ">=80% efficiency at 2+ hosts (BASELINE.md)",
