@@ -63,7 +63,9 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
     if grouped and not cfg.recurrence and cfg.fused_updates is not False:
         from ..ops.pallas.fused_update import plan_for
 
-        supported = plan_for(network) is not None
+        # the fused kernels run f32 internally and write f32 params back —
+        # non-f32 param dtypes take the XLA paths (which honor the dtype)
+        supported = cfg.dtype == jnp.float32 and plan_for(network) is not None
         # Auto-enable on TPU when the network is supported; an explicit
         # fused_updates=True forces the (interpreted) path on cpu/gpu too.
         # Under a mesh axis the grads-emitting kernel variant runs instead of
@@ -85,7 +87,7 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
         # (uniform sampling, no priorities), so fusion needs no grouped flag.
         from ..ops.pallas.fused_drqn import drqn_plan_for
 
-        supported = drqn_plan_for(
+        supported = cfg.dtype == jnp.float32 and drqn_plan_for(
             network, buffer.trace_length, buffer.batch_size, cfg.double_q
         ) is not None
         fused_drqn = supported and (on_tpu or cfg.fused_updates is True)

@@ -145,7 +145,10 @@ class DeepQLearningSolver:
 
         key = jax.random.PRNGKey(cfg.seed)
         k_init, k_pop, k_actor, k_eval, k_learn = jax.random.split(key, 5)
-        params = network.init(k_init)
+        # cfg.dtype reaches BOTH the replay storage (_build_buffer) and the
+        # network parameters — bf16 params are what make conv stacks run the
+        # MXU's native precision (scripts/conv_bench.py measures the shape)
+        params = network.init(k_init, cfg.dtype)
         target_params = params
 
         ep = self.exploration_policy

@@ -147,3 +147,31 @@ def test_bf16_replay_storage():
                      prioritized_replay=True, dtype=jnp.bfloat16)
     policy = solver.solve(mdp)
     assert evaluate(mdp, policy, jax.random.PRNGKey(7)) >= 1.0
+
+
+def test_bf16_dtype_reaches_params_and_solves():
+    """cfg.dtype must reach BOTH the replay storage and the network params
+    (r4: solver previously initialized params f32 regardless); bf16 solve
+    stays finite and produces a valid policy on the XLA path (fused kernels
+    are f32-gated and fall back)."""
+    import jax.numpy as jnp
+
+    from deepqlearning_tpu import (
+        Chain, DeepQLearningSolver, Dense, EpsGreedyPolicy,
+        LinearDecaySchedule, SimpleGridWorld,
+    )
+
+    env = SimpleGridWorld()
+    solver = DeepQLearningSolver(
+        qnetwork=Chain(Dense(2, 16, jnp.tanh), Dense(16, env.num_actions)),
+        max_steps=512, num_envs=16, train_freq=16, buffer_size=1024,
+        train_start=128, eval_freq=512, log_freq=512, save_freq=1 << 30,
+        double_q=True, dueling=False, prioritized_replay=True,
+        verbose=False, logdir=None, max_episode_length=50,
+        dtype=jnp.bfloat16,
+        exploration_policy=EpsGreedyPolicy(LinearDecaySchedule(1.0, 0.1, 256)),
+    )
+    policy = solver.solve(env)
+    leaf = jax.tree_util.tree_leaves(policy.params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    assert policy.action(jnp.asarray([1.0, 1.0])) in env.action_map
