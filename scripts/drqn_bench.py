@@ -2,9 +2,11 @@
 
 Same methodology as ``bench.py`` (scan of full iterations, best-of-reps,
 host-read sync) but with the recurrent path: LSTM(obs→32) Q-network,
-EpisodeReplayBuffer (packed time-major rings) + the fused DRQN Pallas
-kernel. Round-3 recorded numbers (docs/results_r3.json): 16.2M steps/s at
-BENCH_ENVS=16384 (r2: 3.0M), data/update ratio 4096:1.
+EpisodeReplayBuffer (merged shadow-row ring, sliced window gathers) + the
+fused DRQN Pallas kernel. Recorded numbers (docs/results_r4.json): 33.4M
+steps/s at BENCH_ENVS=16384 (r3: 16.2M, r2: 3.0M), 45.7M at 65536;
+data/update ratio 4096:1. 131072 envs exceeds HBM (1.1GB ring x scan
+copies).
 
 Run: ``python scripts/drqn_bench.py`` (TPU). Prints one JSON line.
 """
