@@ -12,7 +12,18 @@ everywhere; CI without a TPU simply skips it.
 import jax
 import pytest
 
-# match f32 numerics of the jnp reference path (TPU matmuls default to bf16)
+# Pin f32 matmul numerics LANE-WIDE so the hand-derived kernel math can be
+# compared against jax.grad tightly (TPU matmuls default to bf16 passes).
+# This is a MATH-correctness setting, not a production-numerics claim:
+# in production both the kernels and the XLA reference paths run default
+# (bf16) matmul precision, where the two implementations round differently —
+# the production-numerics divergence budgets are measured separately at
+# default precision by scripts/r4/tolerance_measure.py, and the sampler's
+# production-precision contract is a mass-deviation bound
+# (test_kernels_tpu.py::test_tree_sample_production_precision_bound), not
+# elementwise equality. (r4 investigation: pinning HIGHEST inside the
+# kernels instead cost 17% DRQN throughput and OOM'd VMEM at the 2^20-leaf
+# tree, for no learning-relevant gain.)
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

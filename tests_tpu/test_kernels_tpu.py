@@ -258,3 +258,48 @@ def test_tree_sample_kernel_on_tpu():
     assert np.abs(ix.astype(np.int64) - ik.astype(np.int64)).max() <= 1
     np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
                                rtol=1e-5)
+
+
+def test_tree_sample_production_precision_bound():
+    """At PRODUCTION matmul precision (default bf16 passes — overriding the
+    lane's f32 pin locally) the descent kernel's draws may differ
+    elementwise from the XLA descent (different bf16 roundings of the
+    fetched masses), but each draw must land within 0.1% of total mass of
+    the exact draw, and the returned priority must be the returned leaf's
+    value. This is the contract production actually relies on; elementwise
+    agreement under pinned f32 is covered by test_tree_sample_kernel_on_tpu.
+    (r4: measured ~98% elementwise mismatch at default precision with
+    max |mass deviation| ~1.4e-4 of total.)"""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas.tree_sample import (
+        sample_pallas,
+        supported,
+    )
+
+    cap, draws = 1 << 18, 4096
+    prios = jax.random.uniform(jax.random.PRNGKey(0), (cap,)) + 0.01
+    tree = sumtree.set_priorities(sumtree.init_tree(cap),
+                                  jnp.arange(cap), prios)
+    assert supported(tree)
+    key = jax.random.PRNGKey(7)
+    with jax.default_matmul_precision("default"):
+        ix, _ = jax.jit(lambda k: sumtree.sample(tree, k, draws))(key)
+        ik, pk = jax.jit(
+            lambda k: sample_pallas(tree, k, draws, interpret=False)
+        )(key)
+    ix, ik = np.asarray(ix), np.asarray(ik)
+    p64 = np.asarray(prios, np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(p64)])
+    total = csum[-1]
+    # mass position of each drawn leaf: deviation from the exact draw's
+    # position bounded well below a stratum (total/draws = 0.024% here)
+    dev = np.abs(csum[ik] - csum[ix]) / total
+    assert dev.max() <= 1e-3, dev.max()
+    # self-consistency: the returned priority is the RETURNED leaf's value
+    # to bf16 fetch precision (the one-hot contraction rounds level values
+    # to 8 mantissa bits at default precision -> rel error ~2^-8; the IS
+    # weight this feeds is a PER heuristic with alpha/beta knobs, so a 0.4%
+    # perturbation is immaterial — under the lane's f32 pin the same check
+    # holds at rtol 1e-5, test_tree_sample_kernel_on_tpu)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
+                               rtol=6e-3)
