@@ -422,3 +422,56 @@ def test_without_replacement_batch_exceeding_capacity_rejected():
             (3,), max_size=8, batch_size=16,
             sample_mode="without_replacement",
         )
+
+
+def test_episode_window_across_ring_boundary_via_shadow_rows():
+    """A trace window whose episode spans the ring's wrap point must read the
+    SHADOW rows (ring rows 0..T-2 mirrored at R..R+T-2) and still return the
+    logical transition sequence (r4 ring: windows are contiguous slices, so
+    the wrap case exercises the mirror copies, not a modular gather)."""
+    from deepqlearning_tpu.replay.episode import EpisodeReplayBuffer
+    from deepqlearning_tpu.replay.transition import TransitionBatch
+
+    T, mel = 4, 4
+    buf = EpisodeReplayBuffer((1,), max_size=2, batch_size=64,
+                              trace_length=T, max_episode_length=mel,
+                              num_envs=1)
+    R = buf.ring
+    assert R == 8  # pow2(max(2*4, 2*4))
+    st = buf.init()
+    # episodes of lengths 3, 3, 4: the third spans ring rows 6,7,0,1
+    lengths = [3, 3, 4]
+    t = 0
+    for L in lengths:
+        for j in range(L):
+            ended = j == L - 1
+            tr = TransitionBatch(
+                obs=jnp.asarray([[float(t)]]),
+                action=jnp.asarray([t % 4]),
+                reward=jnp.asarray([float(t)]),
+                next_obs=jnp.asarray([[float(t) + 0.5]]),
+                done=jnp.asarray([1.0 if ended else 0.0]),
+            )
+            st = buf.add_step(st, tr, jnp.asarray([ended]))
+            t += 1
+    # records now hold episodes 2 (start 3, len 3) and 3 (start 6, len 4)
+    batch = buf.sample(st, jax.random.PRNGKey(0))
+    obs = np.asarray(batch.obs)[..., 0]        # [B, T]
+    rew = np.asarray(batch.reward)
+    mask = np.asarray(batch.mask)
+    starts = obs[:, 0]
+    # at least one drawn window starts INSIDE the wrap-spanning episode at
+    # an offset that crosses the boundary (first step >= 6 reads shadows)
+    crossing = (starts >= 6) & (mask[:, 1] > 0)
+    assert crossing.any(), starts
+    for b in range(obs.shape[0]):
+        s0 = obs[b, 0]
+        for j in range(T):
+            if mask[b, j]:
+                # valid steps are consecutive logical steps of one episode
+                assert obs[b, j] == s0 + j, (b, j, obs[b])
+                assert rew[b, j] == s0 + j
+                np.testing.assert_allclose(
+                    np.asarray(batch.next_obs)[b, j, 0], s0 + j + 0.5)
+            else:
+                assert obs[b, j] == 0.0 and rew[b, j] == 0.0
