@@ -101,7 +101,11 @@ def main():
     ]
     import numpy as np
 
-    seeds = tuple(range(int(os.environ.get("ABLATION_SEEDS", "10"))))
+    off = int(os.environ.get("ABLATION_SEED_OFFSET", "0"))
+    seeds = tuple(range(off, off + int(os.environ.get("ABLATION_SEEDS", "10"))))
+    only = os.environ.get("ABLATION_PROBLEMS")
+    if only:
+        cases = [c for c in cases if c[0] in only.split(",")]
     out = {}
     for name, prob, mk, thr in cases:
         out[name] = {}
