@@ -202,3 +202,30 @@ def test_opt_state_conversion_recurrent_params(tmp_path):
                                ravel_pytree(fused.m)[0], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(loaded.opt_state[0].nu),
                                ravel_pytree(fused.v)[0], rtol=1e-6)
+
+
+def test_full_train_state_resume_recurrent(tmp_path):
+    """Resume on the DRQN path: the episode ring (r4 merged shadow-row
+    layout), its index records, and the recurrent actor state must all
+    roundtrip through the msgpack train-state checkpoint."""
+    from deepqlearning_tpu import LSTM, EpsGreedyPolicy, SimpleGridWorld
+
+    mdp = SimpleGridWorld()
+
+    def make():
+        return DeepQLearningSolver(
+            qnetwork=Chain(LSTM(2, 8), Dense(8, mdp.num_actions)),
+            max_steps=400, num_envs=8, train_freq=32, buffer_size=64,
+            train_start=64, trace_length=5, recurrence=True, dueling=False,
+            max_episode_length=20, logdir=str(tmp_path), verbose=False,
+            eval_freq=10_000, save_freq=200, log_freq=200,
+            exploration_policy=EpsGreedyPolicy(),
+        )
+
+    p1 = make().solve(mdp)
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       checkpoint.TRAIN_STATE_NAME))
+    p2 = make().solve(mdp, resume=True)
+    a = jax.tree_util.tree_leaves(p1.params)[0]
+    b = jax.tree_util.tree_leaves(p2.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
