@@ -77,6 +77,25 @@ class DQNConfig:
     # Name of the data-parallel mesh axis when running under shard_map/pjit.
     data_axis: str = "data"
 
+    def __post_init__(self):
+        # canonicalize dtype so string spellings ('float32') and np/jnp types
+        # compare equal everywhere (the fused-path gating compares dtypes;
+        # a string spelling must not silently disable the kernels)
+        object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
+        # num_envs and train_freq must nest one way or the other, else the
+        # floor-divisions in steps_per_iter/updates_per_iter silently shift
+        # the data/update ratio the reference treats as load-bearing
+        # (SURVEY.md §7(c)): e.g. num_envs=3, train_freq=4 would train every
+        # 3 aggregate steps, not 4.
+        if self.num_envs % self.train_freq and self.train_freq % self.num_envs:
+            raise ValueError(
+                f"num_envs ({self.num_envs}) and train_freq "
+                f"({self.train_freq}) must divide one another so the "
+                "data/update ratio is exact; pick train_freq a multiple of "
+                "num_envs (train less often than every lockstep step) or "
+                "num_envs a multiple of train_freq (grouped updates)"
+            )
+
     def replace(self, **kw) -> "DQNConfig":
         return dataclasses.replace(self, **kw)
 

@@ -456,8 +456,9 @@ def make_fused_grouped_drqn_train_step(network, buffer, gamma: float,
         init_state = network.init_state(U * B)
         q_tgt_seq, _ = network.apply_sequence(target_params, nobs_t, init_state)
         A = q_tgt_seq.shape[-1]
-        # [T, U*B, A] -> [U, B, T, A] (sample_n's flat order is b-major:
-        # flat index i -> (b = i // U, u = i % U))
+        # [T, U*B, A] -> [U, B, T, A] (sample_n's flat order is u-major:
+        # flat index i -> (u = i // B, b = i % B), i.e. sub-batch u occupies
+        # rows [u*B:(u+1)*B] — the contract at replay/prioritized.py sample_n)
         q_sp_tgt = jnp.transpose(
             q_tgt_seq.reshape(T, U, B, A), (1, 2, 0, 3)
         )

@@ -356,213 +356,212 @@ def _trace_fwd_bwd(plan: DRQNPlan, p_get, obs_ref, obs_sp_ref, qsp_ref,
     n_pre = len(plan.pre)
     A, A_p, Hp, Dp = plan.A, plan.A_p, plan.Hp, plan.in_p
 
-    if True:  # keep the body's indentation stable for review
-        def mm(a, b, dims):
-            return jax.lax.dot_general(
-                a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dense_fwd(x, lps, base):
+        """Feature-major forward; returns post-act list (index 0 = x)."""
+        hs = [x]
+        for j, lp in enumerate(lps):
+            w = p_get(base + 2 * j)       # [dout_p, din_p]
+            b = p_get(base + 2 * j + 1)   # [dout_p, 1]
+            z = mm(w, hs[-1], ((1,), (0,))) + b
+            hs.append(_apply_act(z, lp.act))
+        return hs
+
+    def lstm_step(x, h, c):
+        """One recurrent-cell step. LSTM: carry (h, c), cache
+        (i, f, g, o, tanh(c')). GRU (c unused, stays zeros): carry (h,),
+        cache (r, z, n, wh_n@h) — matching ``chain.py``'s cells exactly.
+        """
+        # ALL gate pre-activations in one matmul per operand side: the
+        # gate weights are stacked on sublanes ([ng*Hp, .]); per-gate
+        # blocks come back as static aligned sublane slices
+        xi_all = mm(p_get(wi_all), x, ((1,), (0,))) + p_get(b_all)
+        hh_all = mm(p_get(wh_all), h, ((1,), (0,)))
+        blk = lambda a, g: a[g * Hp:(g + 1) * Hp, :]
+        if plan.cell == "lstm":
+            z_all = xi_all + hh_all
+            i_g = jax.nn.sigmoid(blk(z_all, 0))
+            f_g = jax.nn.sigmoid(blk(z_all, 1))
+            g_g = jnp.tanh(blk(z_all, 2))
+            o_g = jax.nn.sigmoid(blk(z_all, 3))
+            c_new = f_g * c + i_g * g_g
+            tc = jnp.tanh(c_new)
+            h_new = o_g * tc
+            return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
+        hh_n = blk(hh_all, 2)
+        r_g = jax.nn.sigmoid(blk(xi_all, 0) + blk(hh_all, 0))
+        z_g = jax.nn.sigmoid(blk(xi_all, 1) + blk(hh_all, 1))
+        n_g = jnp.tanh(blk(xi_all, 2) + r_g * hh_n)
+        h_new = (1.0 - z_g) * n_g + z_g * h
+        return h_new, c, (r_g, z_g, n_g, hh_n)
+
+    rows_a = jax.lax.broadcasted_iota(jnp.int32, (A_p, Bp), 0)
+    amask = rows_a < A
+
+    def head_fwd(h):
+        """-> (q [A_p, Bp], adv_hs, val_hs)."""
+        adv_hs = dense_fwd(h, plan.adv, adv_base)
+        a_out = adv_hs[-1]
+        if plan.dueling:
+            val_hs = dense_fwd(h, plan.val, val_base)
+            # val head's real output is row 0; padded rows are exactly 0
+            v_row = jnp.sum(val_hs[-1], axis=0, keepdims=True)  # [1, Bp]
+            mean_a = jnp.sum(
+                jnp.where(amask, a_out, 0.0), axis=0, keepdims=True
+            ) * (1.0 / A)
+            q = v_row + a_out - mean_a
+            return q, adv_hs, val_hs
+        return a_out, adv_hs, None
+
+    def row_of(ref, t):
+        """Timestep-t scalar row from a replicated-x8 packed field."""
+        return jnp.max(ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
+
+    # ---------------- forward over the trace --------------------------
+    zHB = jnp.zeros((Hp, Bp), jnp.float32)
+    h, c = zHB, zHB
+    h2, c2 = zHB, zHB  # online unroll over s' (double-Q)
+    hs, cs, gates_l, pre_l, head_l, gtd_l = [h], [c], [], [], [], []
+    loss_acc = jnp.float32(0.0)
+
+    for t in range(T):
+        x_t = obs_ref[t * Dp:(t + 1) * Dp, :]
+        pre_hs = dense_fwd(x_t, plan.pre, pre_base)
+        h, c, gates = lstm_step(pre_hs[-1], h, c)
+        hs.append(h)
+        cs.append(c)
+        gates_l.append(gates)
+        pre_l.append(pre_hs)
+        q_t, adv_hs, val_hs = head_fwd(h)
+        head_l.append((adv_hs, val_hs))
+
+        r_t = row_of(rew_ref, t)
+        d_t = row_of(done_ref, t)
+        mk_t = row_of(mask_ref, t)
+        a_t = jnp.max(act_ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
+
+        qsp_t = qsp_ref[t * A_p:(t + 1) * A_p, :]  # padded rows = -1e30
+        if double_q:
+            x2 = obs_sp_ref[t * Dp:(t + 1) * Dp, :]
+            pre2 = dense_fwd(x2, plan.pre, pre_base)
+            h2, c2, _ = lstm_step(pre2[-1], h2, c2)
+            q2, _, _ = head_fwd(h2)
+            q2m = jnp.where(amask, q2, -1e30)
+            mx = jnp.max(q2m, axis=0, keepdims=True)
+            # first-argmax tie-break, as jnp.argmax
+            bi = jnp.min(
+                jnp.where(q2m >= mx, rows_a, jnp.int32(1 << 30)),
+                axis=0, keepdims=True,
             )
-
-        def dense_fwd(x, lps, base):
-            """Feature-major forward; returns post-act list (index 0 = x)."""
-            hs = [x]
-            for j, lp in enumerate(lps):
-                w = p_get(base + 2 * j)       # [dout_p, din_p]
-                b = p_get(base + 2 * j + 1)   # [dout_p, 1]
-                z = mm(w, hs[-1], ((1,), (0,))) + b
-                hs.append(_apply_act(z, lp.act))
-            return hs
-
-        def lstm_step(x, h, c):
-            """One recurrent-cell step. LSTM: carry (h, c), cache
-            (i, f, g, o, tanh(c')). GRU (c unused, stays zeros): carry (h,),
-            cache (r, z, n, wh_n@h) — matching ``chain.py``'s cells exactly.
-            """
-            # ALL gate pre-activations in one matmul per operand side: the
-            # gate weights are stacked on sublanes ([ng*Hp, .]); per-gate
-            # blocks come back as static aligned sublane slices
-            xi_all = mm(p_get(wi_all), x, ((1,), (0,))) + p_get(b_all)
-            hh_all = mm(p_get(wh_all), h, ((1,), (0,)))
-            blk = lambda a, g: a[g * Hp:(g + 1) * Hp, :]
-            if plan.cell == "lstm":
-                z_all = xi_all + hh_all
-                i_g = jax.nn.sigmoid(blk(z_all, 0))
-                f_g = jax.nn.sigmoid(blk(z_all, 1))
-                g_g = jnp.tanh(blk(z_all, 2))
-                o_g = jax.nn.sigmoid(blk(z_all, 3))
-                c_new = f_g * c + i_g * g_g
-                tc = jnp.tanh(c_new)
-                h_new = o_g * tc
-                return h_new, c_new, (i_g, f_g, g_g, o_g, tc)
-            hh_n = blk(hh_all, 2)
-            r_g = jax.nn.sigmoid(blk(xi_all, 0) + blk(hh_all, 0))
-            z_g = jax.nn.sigmoid(blk(xi_all, 1) + blk(hh_all, 1))
-            n_g = jnp.tanh(blk(xi_all, 2) + r_g * hh_n)
-            h_new = (1.0 - z_g) * n_g + z_g * h
-            return h_new, c, (r_g, z_g, n_g, hh_n)
-
-        rows_a = jax.lax.broadcasted_iota(jnp.int32, (A_p, Bp), 0)
-        amask = rows_a < A
-
-        def head_fwd(h):
-            """-> (q [A_p, Bp], adv_hs, val_hs)."""
-            adv_hs = dense_fwd(h, plan.adv, adv_base)
-            a_out = adv_hs[-1]
-            if plan.dueling:
-                val_hs = dense_fwd(h, plan.val, val_base)
-                # val head's real output is row 0; padded rows are exactly 0
-                v_row = jnp.sum(val_hs[-1], axis=0, keepdims=True)  # [1, Bp]
-                mean_a = jnp.sum(
-                    jnp.where(amask, a_out, 0.0), axis=0, keepdims=True
-                ) * (1.0 / A)
-                q = v_row + a_out - mean_a
-                return q, adv_hs, val_hs
-            return a_out, adv_hs, None
-
-        def row_of(ref, t):
-            """Timestep-t scalar row from a replicated-x8 packed field."""
-            return jnp.max(ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
-
-        # ---------------- forward over the trace --------------------------
-        zHB = jnp.zeros((Hp, Bp), jnp.float32)
-        h, c = zHB, zHB
-        h2, c2 = zHB, zHB  # online unroll over s' (double-Q)
-        hs, cs, gates_l, pre_l, head_l, gtd_l = [h], [c], [], [], [], []
-        loss_acc = jnp.float32(0.0)
-
-        for t in range(T):
-            x_t = obs_ref[t * Dp:(t + 1) * Dp, :]
-            pre_hs = dense_fwd(x_t, plan.pre, pre_base)
-            h, c, gates = lstm_step(pre_hs[-1], h, c)
-            hs.append(h)
-            cs.append(c)
-            gates_l.append(gates)
-            pre_l.append(pre_hs)
-            q_t, adv_hs, val_hs = head_fwd(h)
-            head_l.append((adv_hs, val_hs))
-
-            r_t = row_of(rew_ref, t)
-            d_t = row_of(done_ref, t)
-            mk_t = row_of(mask_ref, t)
-            a_t = jnp.max(act_ref[t * 8:(t + 1) * 8, :], axis=0, keepdims=True)
-
-            qsp_t = qsp_ref[t * A_p:(t + 1) * A_p, :]  # padded rows = -1e30
-            if double_q:
-                x2 = obs_sp_ref[t * Dp:(t + 1) * Dp, :]
-                pre2 = dense_fwd(x2, plan.pre, pre_base)
-                h2, c2, _ = lstm_step(pre2[-1], h2, c2)
-                q2, _, _ = head_fwd(h2)
-                q2m = jnp.where(amask, q2, -1e30)
-                mx = jnp.max(q2m, axis=0, keepdims=True)
-                # first-argmax tie-break, as jnp.argmax
-                bi = jnp.min(
-                    jnp.where(q2m >= mx, rows_a, jnp.int32(1 << 30)),
-                    axis=0, keepdims=True,
-                )
-                q_sp_max = jnp.sum(
-                    jnp.where(rows_a == bi, qsp_t, 0.0), axis=0, keepdims=True
-                )
-            else:
-                q_sp_max = jnp.max(qsp_t, axis=0, keepdims=True)
-
-            q_tgt = r_t + (1.0 - d_t) * gamma * q_sp_max        # [1, Bp]
-            q_sa = jnp.sum(
-                jnp.where(rows_a == a_t, q_t, 0.0), axis=0, keepdims=True
+            q_sp_max = jnp.sum(
+                jnp.where(rows_a == bi, qsp_t, 0.0), axis=0, keepdims=True
             )
-            td = q_sa - q_tgt
-            xw = mk_t * td
-            absx = jnp.abs(xw)
-            quad = jnp.minimum(absx, 1.0)
-            loss_acc = loss_acc + jnp.sum(0.5 * quad * quad + (absx - quad))
-            # d loss / d td (mask^2 = mask)
-            gtd_l.append((mk_t * jnp.clip(xw, -1.0, 1.0) * inv_bt, a_t))
+        else:
+            q_sp_max = jnp.max(qsp_t, axis=0, keepdims=True)
 
-        loss = loss_acc * inv_bt
+        q_tgt = r_t + (1.0 - d_t) * gamma * q_sp_max        # [1, Bp]
+        q_sa = jnp.sum(
+            jnp.where(rows_a == a_t, q_t, 0.0), axis=0, keepdims=True
+        )
+        td = q_sa - q_tgt
+        xw = mk_t * td
+        absx = jnp.abs(xw)
+        quad = jnp.minimum(absx, 1.0)
+        loss_acc = loss_acc + jnp.sum(0.5 * quad * quad + (absx - quad))
+        # d loss / d td (mask^2 = mask)
+        gtd_l.append((mk_t * jnp.clip(xw, -1.0, 1.0) * inv_bt, a_t))
 
-        # ---------------- backward (BPTT) ---------------------------------
-        grads = [jnp.zeros(p_get(k).shape, jnp.float32) for k in range(nt)]
+    loss = loss_acc * inv_bt
 
-        def dense_bwd(lps, base, hs_l, g_out):
-            """Backprop a dense stack; accumulates into ``grads``; returns
-            the gradient w.r.t. the stack input."""
-            dh = g_out
-            for j in reversed(range(len(lps))):
-                lp = lps[j]
-                dz = dh * _act_grad(hs_l[j + 1], lp.act)
-                grads[base + 2 * j] = grads[base + 2 * j] + mm(
-                    dz, hs_l[j], ((1,), (1,))
-                )  # [dout_p, din_p]
-                grads[base + 2 * j + 1] = grads[base + 2 * j + 1] + jnp.sum(
-                    dz, axis=1, keepdims=True
-                )
-                w = p_get(base + 2 * j)
-                dh = mm(w, dz, ((0,), (0,)))  # [din_p, Bp]
-            return dh
+    # ---------------- backward (BPTT) ---------------------------------
+    grads = [jnp.zeros(p_get(k).shape, jnp.float32) for k in range(nt)]
 
-        dh_carry, dc_carry = zHB, zHB
-        for t in reversed(range(T)):
-            g_td, a_t = gtd_l[t]
-            dq = jnp.where(rows_a == a_t, g_td, 0.0)  # [A_p, Bp]
-            adv_hs, val_hs = head_l[t]
-            if plan.dueling:
-                sum_dq = jnp.sum(dq, axis=0, keepdims=True)  # [1, Bp]
-                d_adv = jnp.where(amask, dq - sum_dq * (1.0 / A), 0.0)
-                vp = plan.val[-1].dout_p
-                rows_v = jax.lax.broadcasted_iota(jnp.int32, (vp, Bp), 0)
-                d_val = jnp.where(rows_v == 0, sum_dq, 0.0)
-                dh_head = dense_bwd(plan.val, val_base, val_hs, d_val)
-                dh_head = dh_head + dense_bwd(plan.adv, adv_base, adv_hs, d_adv)
-            else:
-                dh_head = dense_bwd(plan.adv, adv_base, adv_hs, dq)
+    def dense_bwd(lps, base, hs_l, g_out):
+        """Backprop a dense stack; accumulates into ``grads``; returns
+        the gradient w.r.t. the stack input."""
+        dh = g_out
+        for j in reversed(range(len(lps))):
+            lp = lps[j]
+            dz = dh * _act_grad(hs_l[j + 1], lp.act)
+            grads[base + 2 * j] = grads[base + 2 * j] + mm(
+                dz, hs_l[j], ((1,), (1,))
+            )  # [dout_p, din_p]
+            grads[base + 2 * j + 1] = grads[base + 2 * j + 1] + jnp.sum(
+                dz, axis=1, keepdims=True
+            )
+            w = p_get(base + 2 * j)
+            dh = mm(w, dz, ((0,), (0,)))  # [din_p, Bp]
+        return dh
 
-            dh_t = dh_head + dh_carry
-            c_prev, h_prev = cs[t], hs[t]
-            xL = pre_l[t][-1]
-            if plan.cell == "lstm":
-                i_g, f_g, g_g, o_g, tc = gates_l[t]
-                do = dh_t * tc
-                dc = dc_carry + dh_t * o_g * (1.0 - tc * tc)
-                dzs = [
-                    (dc * g_g) * i_g * (1.0 - i_g),       # i
-                    (dc * c_prev) * f_g * (1.0 - f_g),    # f
-                    (dc * i_g) * (1.0 - g_g * g_g),       # g
-                    do * o_g * (1.0 - o_g),               # o
-                ]
-                dhh = dzs  # wh-side cotangents coincide with the gate ones
-                dh_direct = zHB
-                dc_carry = dc * f_g
-            else:
-                r_g, z_g, n_g, hh_n = gates_l[t]
-                dz_gate = dh_t * (h_prev - n_g)
-                dn = dh_t * (1.0 - z_g)
-                d_pre_n = dn * (1.0 - n_g * n_g)
-                dr = d_pre_n * hh_n
-                dhh_n = d_pre_n * r_g
-                dzs = [
-                    dr * r_g * (1.0 - r_g),               # r (wi/b side)
-                    dz_gate * z_g * (1.0 - z_g),          # z
-                    d_pre_n,                              # n
-                ]
-                # wh-side cotangents differ for n: hh_n enters via r*hh_n
-                dhh = [dzs[0], dzs[1], dhh_n]
-                dh_direct = dh_t * z_g
-            dz_all = jnp.concatenate(dzs, axis=0)      # [ng*Hp, Bp]
-            dhh_all = (dz_all if plan.cell == "lstm"
-                       else jnp.concatenate(dhh, axis=0))
-            grads[wi_all] = grads[wi_all] + mm(dz_all, xL, ((1,), (1,)))
-            grads[wh_all] = grads[wh_all] + mm(dhh_all, h_prev, ((1,), (1,)))
-            grads[b_all] = grads[b_all] + jnp.sum(dz_all, axis=1,
-                                                  keepdims=True)
-            # contraction over the stacked-gate axis sums the per-gate
-            # contributions in the same matmul
-            dh_carry = dh_direct + mm(p_get(wh_all), dhh_all, ((0,), (0,)))
-            if n_pre:
-                dxL = mm(p_get(wi_all), dz_all, ((0,), (0,)))
-                dense_bwd(plan.pre, pre_base, pre_l[t], dxL)
+    dh_carry, dc_carry = zHB, zHB
+    for t in reversed(range(T)):
+        g_td, a_t = gtd_l[t]
+        dq = jnp.where(rows_a == a_t, g_td, 0.0)  # [A_p, Bp]
+        adv_hs, val_hs = head_l[t]
+        if plan.dueling:
+            sum_dq = jnp.sum(dq, axis=0, keepdims=True)  # [1, Bp]
+            d_adv = jnp.where(amask, dq - sum_dq * (1.0 / A), 0.0)
+            vp = plan.val[-1].dout_p
+            rows_v = jax.lax.broadcasted_iota(jnp.int32, (vp, Bp), 0)
+            d_val = jnp.where(rows_v == 0, sum_dq, 0.0)
+            dh_head = dense_bwd(plan.val, val_base, val_hs, d_val)
+            dh_head = dh_head + dense_bwd(plan.adv, adv_base, adv_hs, d_adv)
+        else:
+            dh_head = dense_bwd(plan.adv, adv_base, adv_hs, dq)
 
-        gn = jnp.float32(0.0)
-        for g in grads:
-            gn = jnp.maximum(gn, jnp.max(jnp.abs(g)))
-        return grads, loss, gn
+        dh_t = dh_head + dh_carry
+        c_prev, h_prev = cs[t], hs[t]
+        xL = pre_l[t][-1]
+        if plan.cell == "lstm":
+            i_g, f_g, g_g, o_g, tc = gates_l[t]
+            do = dh_t * tc
+            dc = dc_carry + dh_t * o_g * (1.0 - tc * tc)
+            dzs = [
+                (dc * g_g) * i_g * (1.0 - i_g),       # i
+                (dc * c_prev) * f_g * (1.0 - f_g),    # f
+                (dc * i_g) * (1.0 - g_g * g_g),       # g
+                do * o_g * (1.0 - o_g),               # o
+            ]
+            dhh = dzs  # wh-side cotangents coincide with the gate ones
+            dh_direct = zHB
+            dc_carry = dc * f_g
+        else:
+            r_g, z_g, n_g, hh_n = gates_l[t]
+            dz_gate = dh_t * (h_prev - n_g)
+            dn = dh_t * (1.0 - z_g)
+            d_pre_n = dn * (1.0 - n_g * n_g)
+            dr = d_pre_n * hh_n
+            dhh_n = d_pre_n * r_g
+            dzs = [
+                dr * r_g * (1.0 - r_g),               # r (wi/b side)
+                dz_gate * z_g * (1.0 - z_g),          # z
+                d_pre_n,                              # n
+            ]
+            # wh-side cotangents differ for n: hh_n enters via r*hh_n
+            dhh = [dzs[0], dzs[1], dhh_n]
+            dh_direct = dh_t * z_g
+        dz_all = jnp.concatenate(dzs, axis=0)      # [ng*Hp, Bp]
+        dhh_all = (dz_all if plan.cell == "lstm"
+                   else jnp.concatenate(dhh, axis=0))
+        grads[wi_all] = grads[wi_all] + mm(dz_all, xL, ((1,), (1,)))
+        grads[wh_all] = grads[wh_all] + mm(dhh_all, h_prev, ((1,), (1,)))
+        grads[b_all] = grads[b_all] + jnp.sum(dz_all, axis=1,
+                                              keepdims=True)
+        # contraction over the stacked-gate axis sums the per-gate
+        # contributions in the same matmul
+        dh_carry = dh_direct + mm(p_get(wh_all), dhh_all, ((0,), (0,)))
+        if n_pre:
+            dxL = mm(p_get(wi_all), dz_all, ((0,), (0,)))
+            dense_bwd(plan.pre, pre_base, pre_l[t], dxL)
+
+    gn = jnp.float32(0.0)
+    for g in grads:
+        gn = jnp.maximum(gn, jnp.max(jnp.abs(g)))
+    return grads, loss, gn
 
 
 def _make_kernel(plan: DRQNPlan, U: int, T: int, Bp: int, gamma: float,

@@ -79,3 +79,21 @@ def test_linear_epsilon_greedy_tiny_steps_no_nan():
 
     pol = linear_epsilon_greedy(1, 0.5, 0.01)
     assert np.isfinite(float(pol.eps(jnp.asarray(0))))
+
+
+def test_non_nesting_num_envs_train_freq_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        DQNConfig(num_envs=3, train_freq=4)
+    # both nesting directions are fine
+    DQNConfig(num_envs=8, train_freq=4)
+    DQNConfig(num_envs=4, train_freq=8)
+
+
+def test_dtype_string_spelling_canonicalized():
+    import jax.numpy as jnp
+
+    cfg = DQNConfig(dtype="float32")
+    assert cfg.dtype == jnp.float32
+    assert DQNConfig(dtype="bfloat16").dtype == jnp.bfloat16
