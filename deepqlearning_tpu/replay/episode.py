@@ -35,10 +35,15 @@ mask. Records whose data has been overwritten by the ring are remapped to
 the env's most recent episode (documented deviation; with default sizing the
 ring holds the full episode capacity so this only triggers after wraparound).
 
-Storage dtype: the merged ring is float32 (reward/done live next to obs).
-Narrow ``obs_dtype`` requests (e.g. uint8 images) are honored by quantizing
-obs through ``obs_dtype`` on insert, but the ring itself stays f32 — the
-``max_ring_bytes`` cap still bounds memory by shrinking the ring.
+Storage dtype (round 5): the merged ring is stored in ``obs_dtype`` itself.
+Obs/next_obs are cast to ``obs_dtype`` (the usual quantization the caller
+asked for); the four f32 scalars (action, reward, done, pad) are **bit-cast**
+into ``4 / itemsize(obs_dtype)`` lanes of the ring dtype and bit-cast back at
+sample time — exact f32 round-trip, zero precision loss, still ONE gather.
+A uint8 image ring is 4x smaller than round 4's all-f32 ring (bf16: 2x), so
+under the same ``max_ring_bytes`` cap it holds 4x the history instead of
+wrapping early (ADVICE r4: the f32 ring quadrupled image-DRQN slot cost).
+f32 is the identity case — bit-for-bit the round-4 layout.
 """
 from __future__ import annotations
 
@@ -62,10 +67,11 @@ class EpisodeBatch(NamedTuple):
 
 
 class EpisodeReplayState(NamedTuple):
-    # streamed transitions: ONE merged f32 time-major ring with T-1 shadow
-    # rows (see module docstring); feature layout per env:
-    # [obs (no) | next_obs (no) | action, reward, done, pad]
-    data: jnp.ndarray      # [R + T - 1, E, 2*no + 4] f32
+    # streamed transitions: ONE merged time-major ring (dtype = obs_dtype)
+    # with T-1 shadow rows (see module docstring); feature layout per env:
+    # [obs (no) | next_obs (no) | action, reward, done, pad — the scalars
+    #  bit-cast from f32 into 4*ratio lanes of the ring dtype]
+    data: jnp.ndarray      # [R + T - 1, E, 2*no + 4*ratio] obs_dtype
     # episode index: per-env ring of (start, length) records
     ep_start: jnp.ndarray  # [E, M] int32 — global step of episode start
     ep_len: jnp.ndarray    # [E, M] int32
@@ -106,9 +112,16 @@ class EpisodeReplayBuffer:
         self.trace_length = int(trace_length)
         self.max_episode_length = int(max_episode_length)
         self.num_envs = int(num_envs)
-        self.obs_dtype = obs_dtype
+        self.obs_dtype = jnp.dtype(obs_dtype)
+        if self.obs_dtype.itemsize not in (1, 2, 4):
+            raise ValueError(
+                f"obs_dtype must be a 1/2/4-byte dtype, got {self.obs_dtype}"
+            )
         self.no = _prod(self.obs_shape)
-        self.F = 2 * self.no + 4
+        # scalars (action, reward, done, pad: 4 x f32) are bit-cast into
+        # ring-dtype lanes: 4*ratio lanes of itemsize bytes = 16 bytes exact
+        self.ratio = 4 // self.obs_dtype.itemsize
+        self.F = 2 * self.no + 4 * self.ratio
         # per-env episode-record slots; aggregate record capacity >= max_size
         self.records_per_env = max(2, -(-self.max_size // self.num_envs))
         # time ring must hold max_size episodes' worth of steps per env (and
@@ -118,13 +131,12 @@ class EpisodeReplayBuffer:
             max(2 * self.max_episode_length,
                 self.records_per_env * self.max_episode_length)
         )
-        # memory cap: the merged ring stores obs + next_obs + scalars per
-        # slot per env in f32, which for image observations at the default
-        # buffer_size=1000/num_envs=1 would be 131072 slots/env — GBs. Cap
-        # the ring at ``max_ring_bytes`` (stale episode records remap to the
-        # env's newest episode, so a smaller ring only means earlier
-        # wraparound, not corruption).
-        slot_bytes = self.F * 4
+        # memory cap: for image observations at the default
+        # buffer_size=1000/num_envs=1 the ring would be 131072 slots/env —
+        # GBs. Cap the ring at ``max_ring_bytes`` (stale episode records
+        # remap to the env's newest episode, so a smaller ring only means
+        # earlier wraparound, not corruption).
+        slot_bytes = self.F * self.obs_dtype.itemsize
         min_ring = _pow2(2 * self.max_episode_length)
         while (self.ring > min_ring
                and self.num_envs * self.ring * slot_bytes > max_ring_bytes):
@@ -142,7 +154,7 @@ class EpisodeReplayBuffer:
     def init(self) -> EpisodeReplayState:
         E, R, M, T = self.num_envs, self.ring, self.records_per_env, self.trace_length
         return EpisodeReplayState(
-            data=jnp.zeros((R + T - 1, E, self.F), jnp.float32),
+            data=jnp.zeros((R + T - 1, E, self.F), self.obs_dtype),
             ep_start=jnp.zeros((E, M), jnp.int32),
             ep_len=jnp.zeros((E, M), jnp.int32),
             rec_count=jnp.zeros((E,), jnp.int32),
@@ -163,24 +175,25 @@ class EpisodeReplayBuffer:
         E, R, M, T = self.num_envs, self.ring, self.records_per_env, self.trace_length
         k = state.t % R
 
-        def store_obs(x):
-            x = x.reshape(E, self.no)
-            if self.obs_dtype != jnp.float32:
-                x = x.astype(self.obs_dtype)  # quantize as requested
-            return x.astype(jnp.float32)
-
+        scalars = jnp.stack(
+            [batch.action.astype(jnp.float32),
+             batch.reward.astype(jnp.float32),
+             batch.done.astype(jnp.float32),
+             jnp.zeros_like(batch.reward, jnp.float32)], axis=1)  # [E, 4]
+        if self.ratio > 1:
+            # exact f32 -> ring-dtype lane packing (bit-cast, not a cast)
+            scalars = jax.lax.bitcast_convert_type(
+                scalars, self.obs_dtype).reshape(E, 4 * self.ratio)
+        else:
+            scalars = scalars.astype(self.obs_dtype)
         row = jnp.concatenate(
             [
-                store_obs(batch.obs),
-                store_obs(batch.next_obs),
-                jnp.stack(
-                    [batch.action.astype(jnp.float32),
-                     batch.reward.astype(jnp.float32),
-                     batch.done.astype(jnp.float32),
-                     jnp.zeros_like(batch.reward, jnp.float32)], axis=1),
+                batch.obs.reshape(E, self.no).astype(self.obs_dtype),
+                batch.next_obs.reshape(E, self.no).astype(self.obs_dtype),
+                scalars,
             ],
             axis=1,
-        )  # [E, F]
+        )  # [E, F] obs_dtype
         zero = jnp.asarray(0, jnp.int32)
         data = jax.lax.dynamic_update_slice(state.data, row[None], (k, zero, zero))
         # shadow mirror: rows 0..T-2 live again at R..R+T-2 so sample-time
@@ -243,7 +256,18 @@ class EpisodeReplayBuffer:
         T, R, M, E = (self.trace_length, self.ring,
                       self.records_per_env, self.num_envs)
         k_env, k_rec, k_start = jax.random.split(key, 3)
-        env = jax.random.randint(k_env, (B,), 0, E)
+        # uniform over STORED EPISODES, not over envs: drawing the env
+        # uniformly then a record within it oversamples episodes in
+        # sparse envs whenever per-env record counts differ (reference
+        # draws uniformly over all stored episodes,
+        # src/episode_replay.jl:77-80). Weight the env draw by its record
+        # count via an inverse-CDF search on the cumulative counts.
+        counts = jnp.minimum(state.rec_count, M)                  # [E]
+        csum = jnp.cumsum(counts)
+        total = jnp.maximum(csum[-1], 1)
+        r = jax.random.randint(k_env, (B,), 0, jnp.asarray(1 << 30)) % total
+        env = jnp.searchsorted(csum, r, side="right").astype(jnp.int32)
+        env = jnp.minimum(env, E - 1)
         n_rec = jnp.maximum(jnp.minimum(state.rec_count[env], M), 1)
         rec = jax.random.randint(k_rec, (B,), 0, jnp.asarray(1 << 30)) % n_rec
         # remap records whose data the ring has overwritten to the most
@@ -274,14 +298,24 @@ class EpisodeReplayBuffer:
             state.data, idx, dnums, slice_sizes=(T, 1, self.F),
             mode="promise_in_bounds",
         )[:, :, 0]                                               # [B, T, F]
-        win = win * mask[..., None]
-        no = self.no
+        no, ratio = self.no, self.ratio
+        sc = win[..., 2 * no:]                             # [B, T, 4*ratio]
+        if ratio > 1:
+            # exact lane unpack back to the four f32 scalars
+            sc = jax.lax.bitcast_convert_type(
+                sc.reshape(B, T, 4, ratio), jnp.float32)
+        else:
+            sc = sc.astype(jnp.float32)
+        sc = sc * mask[..., None]                          # zero-pad invalid
+        zero = jnp.zeros((), self.obs_dtype)
+        obs = jnp.where(valid[..., None], win[..., :no], zero)
+        nobs = jnp.where(valid[..., None], win[..., no:2 * no], zero)
         oshape = (B, T) + self.obs_shape
         return EpisodeBatch(
-            obs=win[..., :no].reshape(oshape),
-            action=win[..., 2 * no].astype(jnp.int32),
-            reward=win[..., 2 * no + 1],
-            next_obs=win[..., no:2 * no].reshape(oshape),
-            done=win[..., 2 * no + 2],
+            obs=obs.reshape(oshape),
+            action=sc[..., 0].astype(jnp.int32),
+            reward=sc[..., 1],
+            next_obs=nobs.reshape(oshape),
+            done=sc[..., 2],
             mask=mask,
         )

@@ -475,3 +475,72 @@ def test_episode_window_across_ring_boundary_via_shadow_rows():
                     np.asarray(batch.next_obs)[b, j, 0], s0 + j + 0.5)
             else:
                 assert obs[b, j] == 0.0 and rew[b, j] == 0.0
+
+
+def test_episode_sampling_uniform_over_stored_episodes():
+    # env0 commits 1 episode, env1 commits 4: a draw uniform over ENVS would
+    # give env0's single episode ~50% of the mass; uniform over EPISODES
+    # (reference semantics, src/episode_replay.jl:77-80) gives it 20%
+    buf = EpisodeReplayBuffer((1,), max_size=8, batch_size=4096, trace_length=2,
+                              max_episode_length=4, num_envs=2)
+    st = buf.init()
+    # 4 lockstep steps: env0 ends only at t=3; env1 ends every step
+    for t in range(4):
+        tr = TransitionBatch(
+            obs=jnp.full((2, 1), float(t)),
+            # env identity is recoverable from the action field
+            action=jnp.asarray([0, 1], jnp.int32),
+            reward=jnp.ones((2,)),
+            next_obs=jnp.full((2, 1), float(t)),
+            done=jnp.asarray([1.0 if t == 3 else 0.0, 1.0]),
+        )
+        st = buf.add_step(st, tr, jnp.asarray([t == 3, True]))
+    assert int(st.rec_count[0]) == 1 and int(st.rec_count[1]) == 4
+    batch = buf.sample(st, jax.random.PRNGKey(3))
+    frac_env0 = float(jnp.mean(1.0 - batch.action[:, 0].astype(jnp.float32)))
+    # expected 1/5 = 0.2; binomial std at 4096 draws ~ 0.006
+    assert abs(frac_env0 - 0.2) < 0.03, frac_env0
+
+
+def test_episode_ring_dtype_preserving_storage():
+    # the merged ring stores obs in obs_dtype and bit-casts the f32 scalars
+    # into dtype lanes — scalars must round-trip EXACTLY, and the ring
+    # must actually be the narrow dtype (4x memory for uint8 vs f32)
+    for dt in (jnp.uint8, jnp.bfloat16):
+        buf = EpisodeReplayBuffer((2,), max_size=4, batch_size=8,
+                                  trace_length=3, max_episode_length=4,
+                                  num_envs=1, obs_dtype=dt)
+        st = buf.init()
+        assert st.data.dtype == jnp.dtype(dt)
+        rewards = [0.3, -1.7, 123.456]
+        for t in range(3):
+            tr = TransitionBatch(
+                obs=jnp.full((1, 2), float(10 * t)),
+                action=jnp.asarray([t], jnp.int32),
+                reward=jnp.asarray([rewards[t]], jnp.float32),
+                next_obs=jnp.full((1, 2), float(10 * t + 1)),
+                done=jnp.asarray([1.0 if t == 2 else 0.0]),
+            )
+            st = buf.add_step(st, tr, jnp.asarray([t == 2]))
+        batch = buf.sample(st, jax.random.PRNGKey(0))
+        assert batch.obs.dtype == jnp.dtype(dt)
+        m = np.asarray(batch.mask)
+        r = np.asarray(batch.reward)
+        a = np.asarray(batch.action)
+        # every valid step's reward is EXACTLY one of the inserted f32
+        # values (bit-cast round-trip, no bf16/uint8 quantization)
+        valid_r = r[m > 0]
+        assert np.all(np.isin(valid_r, np.asarray(rewards, np.float32)))
+        assert np.all(np.isin(a[m > 0], [0, 1, 2]))
+        # masked steps are zeroed in every field
+        np.testing.assert_allclose(r * (1 - m), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(batch.obs, np.float32) * (1 - m[..., None]), 0.0)
+
+
+def test_episode_ring_f32_layout_unchanged():
+    # f32 is the identity case: F = 2*no + 4, dtype f32 (round-4 layout)
+    buf = EpisodeReplayBuffer((3,), max_size=4, batch_size=2, trace_length=2,
+                              max_episode_length=4, num_envs=2)
+    assert buf.F == 2 * 3 + 4 and buf.ratio == 1
+    assert buf.init().data.dtype == jnp.float32
