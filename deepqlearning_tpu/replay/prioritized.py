@@ -37,21 +37,24 @@ from .transition import TransitionBatch
 class ReplayState(NamedTuple):
     """Device-resident replay buffer state (a pytree; carry it through jit).
 
-    Transitions are stored *packed* — (obs, next_obs) as one array and
-    (action, reward, done) as another — so sampling a batch is 2 row
-    gathers instead of 5. Row gathers serialize per row on TPU (~13 ns/row
-    measured on v5e); at batch 512 the 5-field layout cost ~34 µs/update,
-    the packed one ~13 µs.
+    Transitions are stored as ONE merged row per slot (r5) — obs, next_obs
+    and the four f32 scalars (action, reward, done, pad) share a single
+    ``[C, 2*prod(obs) + 4*ratio]`` array in the storage dtype, scalars
+    bit-cast into dtype lanes (exact f32 round-trip; ``ratio = 4 /
+    itemsize``). Sampling a batch is then ONE row gather. Row gathers
+    serialize per row on TPU (~13 ns/row measured on v5e): round 3's
+    5-field layout cost ~34 µs/update at batch 512, round 4's 2-array
+    packing ~13 µs, the merged row halves that again — at the headline's
+    16384-draw grouped fetch this is ~100 µs/iteration.
 
-    The obs pair is stored as FLAT rows ``[C, 2*prod(obs)]`` rather than
-    ``[C, 2, *obs_shape]``: a trailing obs dim smaller than the 128-lane
-    tile (e.g. NHWC channels=4) makes the gather read mostly layout
-    padding — measured 1294 µs vs 342 µs for 8192 draws of (20,20,4)-pair
-    rows on a v5e. The reshape back to obs_shape happens after the gather.
+    Rows are FLAT rather than ``[C, 2, *obs_shape]``: a trailing obs dim
+    smaller than the 128-lane tile (e.g. NHWC channels=4) makes the gather
+    read mostly layout padding — measured 1294 µs vs 342 µs for 8192 draws
+    of (20,20,4)-pair rows on a v5e. The reshape back to obs_shape happens
+    after the gather.
     """
 
-    obs_pair: jnp.ndarray  # [C, 2*prod(obs)] — [:, :no]=obs, [:, no:]=next_obs
-    ard: jnp.ndarray       # [C, 4] float32 — action, reward, done, pad
+    rows: jnp.ndarray      # [C, 2*no + 4*ratio] obs_dtype (see above)
     tree: jnp.ndarray      # per-level sum-tree tuple (leaves = cap2 >= C)
     insert_pos: jnp.ndarray  # int32 scalar
     size: jnp.ndarray        # int32 scalar
@@ -86,7 +89,13 @@ class PrioritizedReplayBuffer:
         self.beta = float(beta)
         self.eps = float(eps)
         self.prioritized = bool(prioritized)
-        self.obs_dtype = obs_dtype
+        self.obs_dtype = jnp.dtype(obs_dtype)
+        if self.obs_dtype.itemsize not in (1, 2, 4):
+            raise ValueError(
+                f"obs_dtype must be a 1/2/4-byte dtype, got {self.obs_dtype}"
+            )
+        # f32 scalars bit-cast into 4*ratio storage-dtype lanes (16 B exact)
+        self.ratio = 4 // self.obs_dtype.itemsize
         if sample_mode not in ("stratified", "without_replacement"):
             raise ValueError(
                 f"sample_mode must be 'stratified' or 'without_replacement', "
@@ -110,25 +119,43 @@ class PrioritizedReplayBuffer:
     def init(self) -> ReplayState:
         C = self.max_size
         return ReplayState(
-            obs_pair=jnp.zeros((C, 2 * self.no), self.obs_dtype),
-            ard=jnp.zeros((C, 4), jnp.float32),
+            rows=jnp.zeros((C, 2 * self.no + 4 * self.ratio), self.obs_dtype),
             tree=sumtree.init_tree(C),
             insert_pos=jnp.asarray(0, jnp.int32),
             size=jnp.asarray(0, jnp.int32),
         )
 
     def _pack(self, batch: TransitionBatch):
+        """Merge a transition batch into storage rows (see ReplayState)."""
         E = batch.action.shape[0]
-        obs_pair = jnp.concatenate(
-            [batch.obs.reshape(E, self.no), batch.next_obs.reshape(E, self.no)],
-            axis=1,
-        ).astype(self.obs_dtype)                               # [E, 2*no]
-        ard = jnp.stack(
+        scalars = jnp.stack(
             [batch.action.astype(jnp.float32), batch.reward.astype(jnp.float32),
              batch.done.astype(jnp.float32), jnp.zeros((E,), jnp.float32)],
             axis=1,
-        )                                                      # [E, 4]
-        return obs_pair, ard
+        )                                                      # [E, 4] f32
+        if self.ratio > 1:
+            scalars = jax.lax.bitcast_convert_type(
+                scalars, self.obs_dtype).reshape(E, 4 * self.ratio)
+        else:
+            scalars = scalars.astype(self.obs_dtype)
+        return jnp.concatenate(
+            [batch.obs.reshape(E, self.no).astype(self.obs_dtype),
+             batch.next_obs.reshape(E, self.no).astype(self.obs_dtype),
+             scalars],
+            axis=1,
+        )                                                      # [E, 2no+4r]
+
+    def _unpack_scalars(self, sc: jnp.ndarray) -> jnp.ndarray:
+        """[..., 4*ratio] storage lanes -> [..., 4] f32 (exact)."""
+        if self.ratio > 1:
+            return jax.lax.bitcast_convert_type(
+                sc.reshape(sc.shape[:-1] + (4, self.ratio)), jnp.float32)
+        return sc.astype(jnp.float32)
+
+    def peek_scalars(self, state: ReplayState) -> jnp.ndarray:
+        """Decode all slots' (action, reward, done, pad) as [C, 4] f32 —
+        test/diagnostic helper."""
+        return self._unpack_scalars(state.rows[:, 2 * self.no:])
 
     def _initial_priority(self, reward: jnp.ndarray) -> jnp.ndarray:
         if self.prioritized:
@@ -146,27 +173,20 @@ class PrioritizedReplayBuffer:
         """
         E = batch.action.shape[0]
         prio = self._initial_priority(batch.reward)
-        obs_pair, ard = self._pack(batch)
+        rows = self._pack(batch)
         if self.max_size % E == 0:
             pos = state.insert_pos
-
-            def put(buf, val):
-                return jax.lax.dynamic_update_slice(
-                    buf, val.astype(buf.dtype),
-                    (pos,) + (jnp.asarray(0, jnp.int32),) * (buf.ndim - 1),
-                )
-
             return ReplayState(
-                obs_pair=put(state.obs_pair, obs_pair),
-                ard=put(state.ard, ard),
+                rows=jax.lax.dynamic_update_slice(
+                    state.rows, rows, (pos, jnp.asarray(0, jnp.int32))
+                ),
                 tree=sumtree.set_priorities_slice(state.tree, pos, prio),
                 insert_pos=(state.insert_pos + E) % self.max_size,
                 size=jnp.minimum(state.size + E, self.max_size),
             )
         idx = (state.insert_pos + jnp.arange(E, dtype=jnp.int32)) % self.max_size
         return ReplayState(
-            obs_pair=state.obs_pair.at[idx].set(obs_pair),
-            ard=state.ard.at[idx].set(ard),
+            rows=state.rows.at[idx].set(rows),
             tree=sumtree.set_priorities(state.tree, idx, prio),
             insert_pos=(state.insert_pos + E) % self.max_size,
             size=jnp.minimum(state.size + E, self.max_size),
@@ -235,15 +255,15 @@ class PrioritizedReplayBuffer:
                 um = lambda x: jnp.swapaxes(
                     x.reshape(B, n_batches), 0, 1).reshape(-1)
                 idx, prio = um(idx), um(prio)
-        pair = state.obs_pair[idx]                      # [nB, 2*no]
-        ard = state.ard[idx]                            # [nB, 4]
+        rows = state.rows[idx]                          # [nB, 2no+4r] — ONE gather
+        sc = self._unpack_scalars(rows[:, 2 * self.no:])  # [nB, 4] f32
         oshape = (total_draws,) + self.obs_shape
         batch = TransitionBatch(
-            obs=pair[:, : self.no].reshape(oshape),
-            action=ard[:, 0].astype(jnp.int32),
-            reward=ard[:, 1],
-            next_obs=pair[:, self.no:].reshape(oshape),
-            done=ard[:, 2],
+            obs=rows[:, : self.no].reshape(oshape),
+            action=sc[:, 0].astype(jnp.int32),
+            reward=sc[:, 1],
+            next_obs=rows[:, self.no: 2 * self.no].reshape(oshape),
+            done=sc[:, 2],
         )
         if self.prioritized:
             # guard the degenerate empty-buffer state (total mass 0): the

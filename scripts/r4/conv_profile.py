@@ -124,7 +124,7 @@ def main():
                 (a, r, p), _ = jax.lax.scan(
                     populate_step, (carry.actor, carry.replay, carry.params),
                     None, length=n)
-                return r.ard[0]
+                return r.rows[0, -4:]
         elif phase == "sample":
             @jax.jit
             def fn(carry):

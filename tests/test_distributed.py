@@ -60,8 +60,8 @@ def test_dp_replay_shards_differ():
     carry = runner.init_carry(jax.random.PRNGKey(0))
     carry = runner.run_populate(carry, 8)
     # each device collected its own experience: reward shards differ
-    # (ard column 1 = reward in the packed layout)
-    rew = np.asarray(carry.replay.ard[..., 1])
+    # (decoded scalar column 1 = reward in the merged-row layout)
+    rew = np.asarray(carry.replay.rows[..., -3])
     assert rew.shape[0] == 8
     assert not np.allclose(rew[0], rew[1])
 

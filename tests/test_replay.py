@@ -86,10 +86,11 @@ def test_ring_insert_wraparound():
     assert int(st.size) == 6 and int(st.insert_pos) == 6
     st = buf.insert(st, _batch(6, base=50.0))
     assert int(st.size) == 10 and int(st.insert_pos) == 2
-    # slots 6..9 and 0..1 hold the second batch (ard column 1 = reward)
-    np.testing.assert_allclose(np.asarray(st.ard[6, 1]), 50.0)
-    np.testing.assert_allclose(np.asarray(st.ard[1, 1]), 55.0)
-    np.testing.assert_allclose(np.asarray(st.ard[2, 1]), 2.0)  # first batch remains
+    # slots 6..9 and 0..1 hold the second batch (scalar column 1 = reward)
+    sc = np.asarray(buf.peek_scalars(st))
+    np.testing.assert_allclose(sc[6, 1], 50.0)
+    np.testing.assert_allclose(sc[1, 1], 55.0)
+    np.testing.assert_allclose(sc[2, 1], 2.0)  # first batch remains
 
 
 def test_per_insert_priority_is_abs_reward():
@@ -544,3 +545,30 @@ def test_episode_ring_f32_layout_unchanged():
                               max_episode_length=4, num_envs=2)
     assert buf.F == 2 * 3 + 4 and buf.ratio == 1
     assert buf.init().data.dtype == jnp.float32
+
+
+def test_per_merged_rows_dtype_preserving():
+    # merged-row storage: scalars bit-cast into storage lanes round-trip
+    # EXACTLY even for uint8/bf16 buffers; obs keep the storage dtype
+    for dt in (jnp.uint8, jnp.bfloat16):
+        buf = PrioritizedReplayBuffer((3,), max_size=8, batch_size=4,
+                                      obs_dtype=dt)
+        st = buf.init()
+        assert st.rows.dtype == jnp.dtype(dt)
+        b = TransitionBatch(
+            obs=jnp.arange(24, dtype=jnp.float32).reshape(8, 3),
+            action=jnp.arange(8, dtype=jnp.int32) % 4,
+            reward=jnp.asarray([0.3, -1.7, 123.456, 0.0, 5.5, -2.25, 7.0, 1e-3]),
+            next_obs=jnp.arange(24, dtype=jnp.float32).reshape(8, 3) + 100,
+            done=jnp.asarray([0, 1, 0, 0, 1, 0, 0, 1], jnp.float32),
+        )
+        st = buf.insert(st, b)
+        batch, idx, w = buf.sample(st, jax.random.PRNGKey(0))
+        assert batch.obs.dtype == jnp.dtype(dt)
+        # rewards/actions/dones decode to the EXACT inserted f32 values
+        np.testing.assert_array_equal(
+            np.asarray(batch.reward), np.asarray(b.reward)[np.asarray(idx)])
+        np.testing.assert_array_equal(
+            np.asarray(batch.action), np.asarray(b.action)[np.asarray(idx)])
+        np.testing.assert_array_equal(
+            np.asarray(batch.done), np.asarray(b.done)[np.asarray(idx)])
