@@ -134,6 +134,16 @@ def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
     if stratified:
         u = (jnp.arange(batch_size, dtype=jnp.float32) + u) / batch_size
     mass = u * total(tree)
+    idx, _ = descend(tree, mass)
+    return idx, tree[0][idx]
+
+
+def descend(tree: Tree, mass: jnp.ndarray):
+    """Descend given target masses; returns ``(leaf idx [B] int32,
+    residual mass [B])``. Monotone non-decreasing in ``mass`` — the
+    windowed Pallas sampler relies on this to bound per-chunk leaf windows
+    by boundary descents."""
+    batch_size = mass.shape[0]
     idx = jnp.zeros((batch_size,), jnp.int32)
     # descend from just below the root down to the leaves; at each step we sit
     # on a node of `parent_level` and choose among its bf children in `child_level`
@@ -152,7 +162,7 @@ def sample(tree: Tree, key, batch_size: int, stratified: bool = True):
         )
         mass = mass - prev
         idx = idx * bf + j
-    return idx, tree[0][idx]
+    return idx, mass
 
 
 def sample_without_replacement(tree: Tree, key, batch_size: int):

@@ -240,11 +240,12 @@ class PrioritizedReplayBuffer:
             from ..ops.pallas.tree_sample import sample_pallas, supported
 
             if jax.default_backend() not in ("cpu", "gpu") and supported(
-                state.tree
+                state.tree, total_draws
             ):
-                # whole-descent Pallas kernel: one launch instead of ~30
-                # serially-dependent XLA kernels (240 us -> ~40 us for 4096
-                # draws over 256K leaves; ops/pallas/tree_sample.py)
+                # Pallas descent kernels: the whole-descent kernel (one
+                # launch instead of ~30 serially-dependent XLA kernels) up
+                # to 2^19 leaves, the windowed kernel beyond (leaf level
+                # streamed per draw-chunk window — ops/pallas/tree_sample.py)
                 idx, prio = sample_pallas(state.tree, key, total_draws)
             else:
                 idx, prio = sumtree.sample(state.tree, key, total_draws)

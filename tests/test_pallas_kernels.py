@@ -123,3 +123,66 @@ def test_tree_sample_kernel_distribution():
     assert 0.4 < frac < 0.6, frac
     np.testing.assert_allclose(np.asarray(p),
                                np.asarray(prios)[np.asarray(idx)])
+
+
+def test_windowed_tree_sample_matches_xla_descent():
+    """The windowed kernel (r5): per-chunk leaf windows bounded by a
+    boundary descent, scalar-prefetched window bases. Must agree with the
+    XLA descent to the same contract as the whole-descent kernel (>=99%
+    exact, off-by-one on summation-order ties), and its returned priority
+    must be the returned leaf's value."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas import tree_sample as ts
+
+    C, D = 1 << 19, 2048
+    prios = jax.random.uniform(jax.random.PRNGKey(1), (C,)) + 0.01
+    tree = sumtree.set_priorities(sumtree.init_tree(C), jnp.arange(C), prios)
+    sizes = tuple(l.shape[0] for l in tree)
+    assert ts._windowed_ok(sizes, D)          # the gate routes to windowed
+    key = jax.random.PRNGKey(7)
+
+    u = jax.random.uniform(key, (D,))
+    u = (jnp.arange(D, dtype=jnp.float32) + u) / D
+    mass = u * sumtree.total(tree)
+    ix, _ = sumtree.descend(tree, mass)
+
+    iw, pw = ts.sample_pallas(tree, key, D, interpret=True)
+    ix, iw = np.asarray(ix), np.asarray(iw)
+    assert (ix == iw).mean() >= 0.99
+    assert np.abs(ix.astype(np.int64) - iw.astype(np.int64)).max() <= 1
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(prios)[iw],
+                               rtol=1e-6)
+
+
+def test_windowed_tree_sample_overflow_falls_back_exactly():
+    """Extreme priority skew (a chunk spanning far more leaf blocks than
+    the window) must trip the pre-kernel overflow flag and produce the XLA
+    descent's exact draws."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas import tree_sample as ts
+
+    C, D = 1 << 19, 2048
+    p = jnp.full((C,), 1e-4).at[: C // 64].set(10.0)
+    tree = sumtree.set_priorities(sumtree.init_tree(C), jnp.arange(C), p)
+    key = jax.random.PRNGKey(3)
+    u = jax.random.uniform(key, (D,))
+    u = (jnp.arange(D, dtype=jnp.float32) + u) / D
+    ix, _ = sumtree.descend(tree, u * sumtree.total(tree))
+    iw, pw = ts.sample_pallas(tree, key, D, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ix), np.asarray(iw))
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(p)[np.asarray(iw)],
+                               rtol=1e-6)
+
+
+def test_windowed_gate_small_draws_use_whole_kernel():
+    """Small draw counts must keep the whole-descent kernel (windows would
+    be degenerate); beyond its VMEM cap with small draws, supported() must
+    say no so the buffer falls back to the XLA descent."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas import tree_sample as ts
+
+    small = sumtree.init_tree(1 << 16)
+    assert ts.supported(small, 512)           # whole kernel fine
+    big = sumtree.init_tree(1 << 22)
+    assert not ts.supported(big, 512)         # too big for VMEM, too few draws
+    assert ts.supported(big, 16384)           # windowed path

@@ -303,3 +303,90 @@ def test_tree_sample_production_precision_bound():
     # holds at rtol 1e-5, test_tree_sample_kernel_on_tpu)
     np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
                                rtol=6e-3)
+
+
+@pytest.mark.parametrize("logc", [20, 21, 22])
+def test_windowed_tree_sample_on_tpu(logc):
+    """r5 windowed sampler through real Mosaic at the headline draw count
+    (16384) for 2^20 (headline buffer), 2^21 and 2^22 leaves (beyond the
+    whole-descent kernel's VMEM wall). Under the lane's f32 pin: same
+    near-total agreement contract with the XLA descent as the whole
+    kernel, self-consistent priorities."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas import tree_sample as ts
+
+    cap, draws = 1 << logc, 16384
+    prios = jax.random.uniform(jax.random.PRNGKey(0), (cap,)) + 0.01
+    tree = sumtree.set_priorities(sumtree.init_tree(cap),
+                                  jnp.arange(cap), prios)
+    sizes = tuple(l.shape[0] for l in tree)
+    assert ts.supported(tree, draws) and ts._windowed_ok(sizes, draws)
+    key = jax.random.PRNGKey(7)
+    u = jax.random.uniform(key, (draws,))
+    u = (jnp.arange(draws, dtype=jnp.float32) + u) / draws
+
+    @jax.jit
+    def xla(k):
+        idx, _ = sumtree.descend(tree, u * sumtree.total(tree))
+        return idx
+
+    ix = np.asarray(xla(key))
+    ik, pk = jax.jit(
+        lambda k: ts.sample_pallas(tree, k, draws, interpret=False)
+    )(key)
+    ik = np.asarray(ik)
+    # at 2^20+ totals the f32 masses themselves have ulp comparable to a
+    # leaf priority, so ulp-boundary draws pick a neighbor more often than
+    # at 2^18 (measured exact fractions 0.983/0.973/0.931 for 20/21/22);
+    # the mass-position deviation is the real contract: < 2e-6 of total,
+    # ~30x below one stratum
+    exact = (ix == ik).mean()
+    assert exact >= 0.9, exact
+    assert np.abs(ix.astype(np.int64) - ik.astype(np.int64)).max() <= 2
+    p64 = np.asarray(prios, np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(p64)])
+    dev = np.abs(csum[ik] - csum[ix]) / csum[-1]
+    assert dev.max() <= 1e-5, dev.max()
+    # the leaf-window contraction runs EXPLICIT bf16 even under the lane's
+    # f32 pin (tree_sample.py: a context HIGHEST pin OOMs scoped VMEM and
+    # costs 1.8x), so returned priorities carry bf16 rounding: rtol 6e-3,
+    # same contract as the production-precision test
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
+                               rtol=6e-3)
+
+
+def test_windowed_tree_sample_production_precision_bound_on_tpu():
+    """At PRODUCTION matmul precision, the windowed kernel's draws must
+    stay within a tight mass-deviation bound of the TRUE (f64) inverse
+    CDF. The small upper levels run pinned-f32 stages (PIN_LEVEL) so the
+    dominant bf16 error term is gone — measured 1.8e-6 of total at 2^21
+    (2.7e-3 before pinning); bound at 10x measured. The boundary and main
+    kernels share stage arithmetic, so windows cannot be missed — only
+    within-node ties shift."""
+    from deepqlearning_tpu.ops import sumtree
+    from deepqlearning_tpu.ops.pallas import tree_sample as ts
+
+    cap, draws = 1 << 21, 16384
+    prios = jax.random.uniform(jax.random.PRNGKey(0), (cap,)) + 0.01
+    tree = sumtree.set_priorities(sumtree.init_tree(cap),
+                                  jnp.arange(cap), prios)
+    key = jax.random.PRNGKey(7)
+    u = jax.random.uniform(key, (draws,))
+    u = (jnp.arange(draws, dtype=jnp.float32) + u) / draws
+    with jax.default_matmul_precision("default"):
+        ik, pk = jax.jit(
+            lambda k: ts.sample_pallas(tree, k, draws, interpret=False)
+        )(key)
+    ik = np.asarray(ik)
+    p64 = np.asarray(prios, np.float64)
+    csum = np.cumsum(p64)
+    mass64 = np.asarray(u, np.float64) * float(sumtree.total(tree))
+    true_idx = np.minimum(np.searchsorted(csum, mass64, side="right"),
+                          cap - 1)
+    csum0 = np.concatenate([[0.0], csum])
+    dev = np.abs(csum0[ik] - csum0[true_idx]) / csum[-1]
+    assert dev.max() <= 2e-5, dev.max()
+    # leaf fetch stays on bf16 passes: returned priority is the returned
+    # leaf's value to bf16 precision (same contract as the whole kernel)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(prios)[ik],
+                               rtol=6e-3)
