@@ -70,8 +70,16 @@ class EpisodeReplayState(NamedTuple):
     # streamed transitions: ONE merged time-major ring (dtype = obs_dtype)
     # with T-1 shadow rows (see module docstring); feature layout per env:
     # [obs (no) | next_obs (no) | action, reward, done, pad — the scalars
-    #  bit-cast from f32 into 4*ratio lanes of the ring dtype]
-    data: jnp.ndarray      # [R + T - 1, E, 2*no + 4*ratio] obs_dtype
+    #  bit-cast from f32 into 4*ratio lanes of the ring dtype].
+    # G = max(1, 128 // F) envs share one 128-lane row: a [R, E, F] ring
+    # with small F makes XLA lane-pad F to 128 (T(8,128) tiling) — a 16x
+    # HBM blowup at F=8 that OOMed 131072-env DRQN — while a flat [R, E*F]
+    # ring stores dense but turns the window gather into misaligned
+    # sub-tile slice reads (measured 6x slower). Grouped rows store dense
+    # AND gather as aligned full tiles; the sampled window selects its
+    # env's F lanes with a one-hot contraction afterwards (trivial VPU
+    # work).
+    data: jnp.ndarray      # [R + T - 1, E // G, G * F] obs_dtype
     # episode index: per-env ring of (start, length) records
     ep_start: jnp.ndarray  # [E, M] int32 — global step of episode start
     ep_len: jnp.ndarray    # [E, M] int32
@@ -122,6 +130,11 @@ class EpisodeReplayBuffer:
         # ring-dtype lanes: 4*ratio lanes of itemsize bytes = 16 bytes exact
         self.ratio = 4 // self.obs_dtype.itemsize
         self.F = 2 * self.no + 4 * self.ratio
+        # envs per 128-lane storage row (see EpisodeReplayState.data)
+        G = max(1, 128 // self.F)
+        while G > 1 and self.num_envs % G:
+            G //= 2
+        self.G = G
         # per-env episode-record slots; aggregate record capacity >= max_size
         self.records_per_env = max(2, -(-self.max_size // self.num_envs))
         # time ring must hold max_size episodes' worth of steps per env (and
@@ -154,7 +167,8 @@ class EpisodeReplayBuffer:
     def init(self) -> EpisodeReplayState:
         E, R, M, T = self.num_envs, self.ring, self.records_per_env, self.trace_length
         return EpisodeReplayState(
-            data=jnp.zeros((R + T - 1, E, self.F), self.obs_dtype),
+            data=jnp.zeros((R + T - 1, E // self.G, self.G * self.F),
+                           self.obs_dtype),
             ep_start=jnp.zeros((E, M), jnp.int32),
             ep_len=jnp.zeros((E, M), jnp.int32),
             rec_count=jnp.zeros((E,), jnp.int32),
@@ -193,14 +207,14 @@ class EpisodeReplayBuffer:
                 scalars,
             ],
             axis=1,
-        )  # [E, F] obs_dtype
+        ).reshape(1, E // self.G, self.G * self.F)  # [1, E/G, G*F]
         zero = jnp.asarray(0, jnp.int32)
-        data = jax.lax.dynamic_update_slice(state.data, row[None], (k, zero, zero))
+        data = jax.lax.dynamic_update_slice(state.data, row, (k, zero, zero))
         # shadow mirror: rows 0..T-2 live again at R..R+T-2 so sample-time
         # windows are contiguous [T] slices; when k >= T-1 this re-writes
         # row k (a harmless duplicate — cheaper than a branch)
         k2 = jnp.where(k < T - 1, R + k, k)
-        data = jax.lax.dynamic_update_slice(data, row[None], (k2, zero, zero))
+        data = jax.lax.dynamic_update_slice(data, row, (k2, zero, zero))
 
         ended = ended.astype(jnp.bool_)
         new_len = state.cur_len + 1
@@ -260,14 +274,32 @@ class EpisodeReplayBuffer:
         # uniformly then a record within it oversamples episodes in
         # sparse envs whenever per-env record counts differ (reference
         # draws uniformly over all stored episodes,
-        # src/episode_replay.jl:77-80). Weight the env draw by its record
-        # count via an inverse-CDF search on the cumulative counts.
-        counts = jnp.minimum(state.rec_count, M)                  # [E]
-        csum = jnp.cumsum(counts)
-        total = jnp.maximum(csum[-1], 1)
-        r = jax.random.randint(k_env, (B,), 0, jnp.asarray(1 << 30)) % total
-        env = jnp.searchsorted(csum, r, side="right").astype(jnp.int32)
-        env = jnp.minimum(env, E - 1)
+        # src/episode_replay.jl:77-80). The weighted env draw rides the
+        # sum-tree descent (MXU one-hot stages) — a jnp.searchsorted here
+        # was a sequential binary-search kernel chain that cost ~1/3 of
+        # DRQN bench throughput.
+        from ..ops import sumtree
+
+        def weighted_env(k):
+            counts = jnp.minimum(state.rec_count, M).astype(jnp.float32)
+            Ep = 1
+            while Ep < E:
+                Ep *= 2
+            ctree = sumtree._rebuild_from(jnp.pad(counts, (0, Ep - E)))
+            total = jnp.maximum(sumtree.total(ctree), 1.0)
+            mass = jax.random.uniform(k, (B,)) * total
+            env, _ = sumtree.descend(ctree, mass)
+            return jnp.minimum(env, E - 1)
+
+        def uniform_env(k):
+            return jax.random.randint(k, (B,), 0, E)
+
+        # once every env's record ring is full the weighted draw IS the
+        # uniform draw (all counts == M) — skip the count-tree chain, which
+        # costs real latency on the train path (steady state in practice)
+        env = jax.lax.cond(
+            jnp.min(state.rec_count) >= M, uniform_env, weighted_env, k_env
+        )
         n_rec = jnp.maximum(jnp.minimum(state.rec_count[env], M), 1)
         rec = jax.random.randint(k_rec, (B,), 0, jnp.asarray(1 << 30)) % n_rec
         # remap records whose data the ring has overwritten to the most
@@ -286,18 +318,34 @@ class EpisodeReplayBuffer:
 
         # window = T CONTIGUOUS ring rows starting at (start+u) % R (the
         # shadow rows make the wrap-around contiguous): one sliced gather
-        # with B indices instead of B*T row indices
+        # with B indices instead of B*T row indices, reading the env
+        # GROUP's aligned [T, G*F] tile; the env's own F lanes are then
+        # selected with a one-hot contraction (G*F <= 128, trivial)
+        G = self.G
         t0 = (start + u) % R
-        idx = jnp.stack([t0, env], axis=-1)                      # [B, 2]
+        idx = jnp.stack([t0, env // G], axis=-1)                 # [B, 2]
         dnums = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3),
             collapsed_slice_dims=(),
             start_index_map=(0, 1),
         )
         win = jax.lax.gather(
-            state.data, idx, dnums, slice_sizes=(T, 1, self.F),
+            state.data, idx, dnums, slice_sizes=(T, 1, G * self.F),
             mode="promise_in_bounds",
-        )[:, :, 0]                                               # [B, T, F]
+        )[:, :, 0]                                               # [B, T, G*F]
+        if G > 1:
+            # EXACT lane select (where + one-term sum): a one-hot MXU
+            # contraction at default precision would round the bit-cast
+            # scalar lanes through bf16 and corrupt the decoded f32s
+            sel = (jnp.arange(G)[None, None, :, None]
+                   == (env % G)[:, None, None, None])            # [B,1,G,1]
+            w4 = win.reshape(B, T, G, self.F)
+            acc = (jnp.int32 if jnp.issubdtype(self.obs_dtype, jnp.integer)
+                   else jnp.float32)
+            win = jnp.sum(
+                jnp.where(sel, w4, jnp.zeros((), self.obs_dtype)),
+                axis=2, dtype=acc,
+            ).astype(self.obs_dtype)                             # [B, T, F]
         no, ratio = self.no, self.ratio
         sc = win[..., 2 * no:]                             # [B, T, 4*ratio]
         if ratio > 1:

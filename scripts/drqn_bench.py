@@ -3,10 +3,10 @@
 Same methodology as ``bench.py`` (scan of full iterations, best-of-reps,
 host-read sync) but with the recurrent path: LSTM(obs→32) Q-network,
 EpisodeReplayBuffer (merged shadow-row ring, sliced window gathers) + the
-fused DRQN Pallas kernel. Recorded numbers (docs/results_r4.json): 33.4M
-steps/s at BENCH_ENVS=16384 (r3: 16.2M, r2: 3.0M), 45.7M at 65536;
-data/update ratio 4096:1. 131072 envs exceeds HBM (1.1GB ring x scan
-copies).
+fused DRQN Pallas kernel. Recorded numbers: r5 37.3M steps/s at
+BENCH_ENVS=16384 (r4: 33.4M, r3: 16.2M, r2: 3.0M), 54.7M at 65536, 50.9M
+at 131072 (OOM before the r5 grouped-lane ring layout: XLA lane-padded
+the [R, E, 8] ring 16x); data/update ratio 4096:1.
 
 Run: ``python scripts/drqn_bench.py`` (TPU). Prints one JSON line.
 """
