@@ -56,10 +56,22 @@ def pmean_flat(grads, axis_name):
     drops that to U collectives and a projected ~90%. Numerics: the
     reduction runs in f32 regardless of leaf dtype (more precise than a
     bf16 tree reduce), values identical per leaf otherwise.
+
+    ``axis_name`` may be a TUPLE of mesh axes, innermost (ICI) first: the
+    reduction is then explicitly hierarchical — ``psum`` per axis in order
+    (ring over ICI within each slice, then the already-reduced vector once
+    across DCN) — the cross-slice schedule of VERDICT r4 next-step #4.
     """
     leaves, treedef = jax.tree_util.tree_flatten(grads)
     flat = jnp.concatenate([l.ravel().astype(jnp.float32) for l in leaves])
-    flat = jax.lax.pmean(flat, axis_name)
+    if isinstance(axis_name, (tuple, list)):
+        n = 1
+        for ax in axis_name:            # innermost (ICI) first
+            flat = jax.lax.psum(flat, ax)
+            n *= jax.lax.axis_size(ax)
+        flat = flat / n
+    else:
+        flat = jax.lax.pmean(flat, axis_name)
     out, off = [], 0
     for l in leaves:
         out.append(flat[off:off + l.size].reshape(l.shape).astype(l.dtype))

@@ -132,3 +132,58 @@ def test_dp_recurrent_path():
     leaf = jax.tree_util.tree_leaves(carry.params)[0]
     np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(leaf[-1]),
                                rtol=1e-6)
+
+
+def _hier_runner(shape=(2, 4), dcn_sync_every=1):
+    env = TestMDP((5, 5), 4, 6)
+    chain = Chain(Flatten(), Dense(100, 16, jnp.tanh), Dense(16, env.num_actions))
+    network = create_dueling_network(chain)
+    cfg = DQNConfig(
+        num_envs=2, batch_size=8, buffer_size=64, train_freq=2,
+        train_start=8, max_episode_length=6,
+    )
+    buffer = PrioritizedReplayBuffer(
+        env.obs_shape, cfg.buffer_size, cfg.batch_size, prioritized=True
+    )
+    grid = np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    mesh = Mesh(grid, ("dcn", "ici"))
+    return DataParallelRunner(
+        env, network, buffer, cfg, LinearDecaySchedule(1.0, 0.1, 100),
+        gamma=env.discount, mesh=mesh, dcn_sync_every=dcn_sync_every,
+    )
+
+
+def test_hierarchical_psum_matches_flat_pmean():
+    """psum(psum(g, ici), dcn) over a 2x4 (dcn, ici) mesh must produce the
+    same trained params as the flat 8-device pmean (same seed, same device
+    order) up to reduction-order rounding (VERDICT r4 next-step #4)."""
+    flat = _runner(8)
+    hier = _hier_runner((2, 4))
+    key = jax.random.PRNGKey(3)
+    cf = flat.run_populate(flat.init_carry(key), 8)
+    ch = hier.run_populate(hier.init_carry(key), 8)
+    cf = flat.run_segment(cf, 4)
+    ch = hier.run_segment(ch, 4)
+    pf = jax.tree_util.tree_leaves(flat.device_get_params(cf))
+    ph = jax.tree_util.tree_leaves(hier.device_get_params(ch))
+    for a, b in zip(pf, ph):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_local_sgd_dcn_sync_mode():
+    """dcn_sync_every=k: slices drift between syncs (grads reduce over ICI
+    only) and re-converge at sync boundaries — params must be identical
+    across the dcn axis right after a segment whose length is a multiple
+    of k, and finite throughout."""
+    hier = _hier_runner((2, 4), dcn_sync_every=2)
+    carry = hier.init_carry(jax.random.PRNGKey(5))
+    carry = hier.run_populate(carry, 8)
+    carry = hier.run_segment(carry, 4)   # 4 % 2 == 0: ends on a sync
+    assert np.all(np.isfinite(np.asarray(carry.loss)))
+    leaf = jax.tree_util.tree_leaves(carry.params)[0]
+    # identical across dcn rows (synced), identical across ici always
+    np.testing.assert_allclose(np.asarray(leaf[0]), np.asarray(leaf[1]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(leaf[0, 0]), np.asarray(leaf[0, 3]),
+                               rtol=1e-6)
