@@ -31,7 +31,7 @@ from deepqlearning_tpu.replay.prioritized import PrioritizedReplayBuffer
 from deepqlearning_tpu.solver.exploration import LinearDecaySchedule
 
 E = int(os.environ.get("PROF_ENVS", "32768"))
-C = 1 << 18
+C = 1 << int(os.environ.get("PROF_LOGC", "18"))
 B = 512
 TRAIN_FREQ = 4096
 N_ITERS = int(os.environ.get("PROF_ITERS", "400"))
