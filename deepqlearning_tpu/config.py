@@ -74,6 +74,16 @@ class DQNConfig:
     # for unsupported networks (recurrent / non-Dense / num_actions > 128) —
     # those fall back to the XLA grouped path with a warning.
     fused_updates: Optional[bool] = None
+    # Fused collect-phase kernel (ops/pallas/fused_collect.py): whole
+    # act->step->bookkeeping chain in one Pallas launch. Same None/True/False
+    # semantics as fused_updates. Requires an env implementing the cols
+    # protocol (e.g. SimpleGridWorld), a kernel-supported feed-forward
+    # network, f32 replay storage, the default ε-greedy strategy, and
+    # num_envs a multiple of 128 — anything else falls back to the XLA
+    # collect step. NOTE: the kernel uses the on-chip TPU PRNG, so the
+    # exploration/env random STREAM differs from the XLA path (identical
+    # distributions).
+    fused_collect: Optional[bool] = None
     # Name of the data-parallel mesh axis when running under shard_map/pjit.
     data_axis: str = "data"
 

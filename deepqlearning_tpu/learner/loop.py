@@ -155,13 +155,46 @@ def build_loop(env, network, buffer, cfg: DQNConfig, eps_fn, gamma: float,
         )
         insert_fn = lambda replay, tr, ended: buffer.insert(replay, tr)
 
-    collect_step = make_collect_step(
-        env, network, cfg.max_episode_length, eps_fn, insert_fn,
-        select_fn=select_fn,
-    )
-    populate_step = make_collect_step(
-        env, network, cfg.max_episode_length, lambda t: jnp.asarray(1.0), insert_fn
-    )
+    # fused collect-phase kernel: auto on TPU when the env speaks the cols
+    # protocol, the net is kernel-supported, storage is f32, the strategy is
+    # the default ε-greedy schedule, and E is lane-aligned
+    fused_col = False
+    if select_fn is None and cfg.fused_collect is not False \
+            and cfg.num_envs % 128 == 0:
+        from ..ops.pallas.fused_collect import collect_plan_for
+
+        cplan = collect_plan_for(env, network, buffer)
+        supported = cplan is not None and cfg.dtype == jnp.float32
+        fused_col = supported and (on_tpu or cfg.fused_collect is True)
+        if cfg.fused_collect is True and not supported:
+            import warnings
+
+            warnings.warn(
+                "fused_collect=True cannot be honored (env/network/buffer "
+                "unsupported by the collect kernel); using the XLA collect "
+                "step", stacklevel=2,
+            )
+    if fused_col:
+        from .actor import make_fused_collect_step
+
+        collect_step = make_fused_collect_step(
+            env, network, cfg.max_episode_length, eps_fn, insert_fn,
+            cplan, interpret=not on_tpu,
+        )
+        populate_step = make_fused_collect_step(
+            env, network, cfg.max_episode_length,
+            lambda t: jnp.asarray(1.0), insert_fn, cplan,
+            interpret=not on_tpu,
+        )
+    else:
+        collect_step = make_collect_step(
+            env, network, cfg.max_episode_length, eps_fn, insert_fn,
+            select_fn=select_fn,
+        )
+        populate_step = make_collect_step(
+            env, network, cfg.max_episode_length, lambda t: jnp.asarray(1.0),
+            insert_fn,
+        )
     tuf = cfg.target_update_freq
 
     def iteration(carry: LoopCarry, _):
