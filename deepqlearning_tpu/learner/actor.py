@@ -171,6 +171,26 @@ def make_fused_collect_step(env, network, max_episode_length: int, eps_fn,
 
     no = plan.no
     obs_shape = tuple(env.obs_shape)
+    cell = plan.cell
+
+    def _state_rows(net_state):
+        """Cell state pytree entry -> stacked [srows, E] f32 rows."""
+        leaves = net_state[cell.layer_idx]          # (h,) or (h, c)
+        return jnp.concatenate(
+            [l.astype(jnp.float32).T for l in leaves], axis=0)
+
+    def _rows_state(net_state, rows):
+        """Stacked rows -> the same pytree structure as ``net_state``."""
+        leaves = net_state[cell.layer_idx]
+        H = cell.hidden
+        new = tuple(
+            rows[i * H: (i + 1) * H].T.astype(leaves[i].dtype)
+            for i in range(len(leaves))
+        )
+        return tuple(
+            new if i == cell.layer_idx else s
+            for i, s in enumerate(net_state)
+        )
 
     def step(carry, _):
         actor, replay, params = carry
@@ -184,15 +204,20 @@ def make_fused_collect_step(env, network, max_episode_length: int, eps_fn,
                         ((0, plan.no8 - no), (0, 0)))
         cols = jnp.pad(env.state_to_cols(actor.env_state),
                        ((0, plan.W8 - plan.W), (0, 0)))
-        fields, obs_n, cols_n, ep_step_n, ep_ret_n, totals = fused_collect(
-            env, network, plan, params,
-            obs=obs_t, cols=cols,
-            ep_step=actor.ep_step.astype(jnp.float32).reshape(1, E),
-            ep_ret=actor.ep_ret.reshape(1, E),
-            seeds=seeds, eps=eps, max_episode_length=max_episode_length,
-            host_key=(k_u if (interpret or host_uniforms) else None),
-            interpret=interpret,
-        )
+        nstate = None if cell is None else _state_rows(actor.net_state)
+        fields, obs_n, cols_n, ep_step_n, ep_ret_n, totals, *rest = \
+            fused_collect(
+                env, network, plan, params,
+                obs=obs_t, cols=cols,
+                ep_step=actor.ep_step.astype(jnp.float32).reshape(1, E),
+                ep_ret=actor.ep_ret.reshape(1, E),
+                seeds=seeds, eps=eps,
+                max_episode_length=max_episode_length, nstate=nstate,
+                host_key=(k_u if (interpret or host_uniforms) else None),
+                interpret=interpret,
+            )
+        net_state = (actor.net_state if cell is None
+                     else _rows_state(actor.net_state, rest[0]))
 
         transition = TransitionBatch(
             obs=fields[:no].T.reshape((E,) + obs_shape),
@@ -214,7 +239,7 @@ def make_fused_collect_step(env, network, max_episode_length: int, eps_fn,
         actor = ActorState(
             env_state=env.cols_to_state(cols_n[: plan.W]),
             obs=obs_n[:no].T.reshape((E,) + obs_shape),
-            net_state=actor.net_state,
+            net_state=net_state,
             ep_step=ep_step_n[0].astype(jnp.int32),
             ep_ret=ep_ret_n[0],
             ret_ring=put1(actor.ret_ring, totals[0]),

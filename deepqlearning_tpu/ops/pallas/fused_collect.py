@@ -45,7 +45,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_update import FusedPlan, plan_for, _dense_params, _apply_act
+from ...models.chain import GRU, LSTM, Chain, Dense, Flatten
+from ...models.dueling import DuelingNetwork
+from .fused_update import (
+    FusedPlan, _apply_act, _chain_layers, _dense_params, plan_for,
+)
 
 _INV24 = float(2.0 ** -24)
 
@@ -55,8 +59,23 @@ def _r8(x: int) -> int:
 
 
 @dataclasses.dataclass(frozen=True)
+class _CellPlan:
+    """Leading recurrent cell of a DRQN net (reference DRQN family,
+    ``test/runtests.jl:117``): one LSTM/GRU step runs in-kernel, state rides
+    feature-major as ``srows`` extra f32 rows (h / h;c stacked)."""
+    kind: str          # 'lstm' | 'gru'
+    in_dim: int
+    in8: int
+    hidden: int
+    gates: int         # 4H (lstm) / 3H (gru)
+    srows: int         # carried state rows: 2H (lstm) / H (gru)
+    layer_idx: int     # position of the cell in its owning chain's state
+
+
+@dataclasses.dataclass(frozen=True)
 class CollectPlan:
-    net: FusedPlan
+    net: FusedPlan     # the dense head (input = obs, or h for recurrent)
+    cell: Optional[_CellPlan]
     no: int            # flat obs dim
     no8: int
     W: int             # env lane-state width
@@ -67,14 +86,86 @@ class CollectPlan:
     nf: int            # replay field rows: 2*no + 4 (a, r, done, ended)
     nf8: int
 
+    @property
+    def n_cell_tensors(self) -> int:
+        return 3 if self.cell is not None else 0
+
+
+def _cell_plan(layer, idx) -> Optional[_CellPlan]:
+    if isinstance(layer, LSTM):
+        kind, g, s = "lstm", 4 * layer.hidden, 2 * layer.hidden
+    elif isinstance(layer, GRU):
+        kind, g, s = "gru", 3 * layer.hidden, layer.hidden
+    else:
+        return None
+    # gate/state row slices land on sublane boundaries only for 8-mult H
+    if layer.hidden % 8 != 0 or layer.hidden > 128:
+        return None
+    return _CellPlan(kind=kind, in_dim=layer.in_dim, in8=_r8(layer.in_dim),
+                     hidden=layer.hidden, gates=g, srows=s, layer_idx=idx)
+
+
+def _recurrent_plan(network) -> Optional[tuple]:
+    """(head FusedPlan, _CellPlan) for a [Flatten*] + LSTM/GRU + Dense* chain
+    or a DuelingNetwork whose base is such a cell, else None."""
+    if isinstance(network, DuelingNetwork):
+        idx = 0
+        layers = list(network.base.layers)
+        while layers and isinstance(layers[0], Flatten):
+            layers = layers[1:]
+            idx += 1
+        if len(layers) != 1:
+            return None
+        cp = _cell_plan(layers[0], idx)
+        if cp is None:
+            return None
+        val = _chain_layers(network.val)
+        adv = _chain_layers(network.adv)
+        if not val or not adv or val[0].din != cp.hidden \
+                or adv[0].din != cp.hidden or val[-1].dout != 1:
+            return None
+        head = FusedPlan(dueling=True, in_dim=cp.hidden,
+                         in_dim_p=_r8(cp.hidden),
+                         num_actions=adv[-1].dout,
+                         num_actions_p=_r8(adv[-1].dout), val=val, adv=adv)
+        return head, cp
+    if isinstance(network, Chain):
+        idx = 0
+        layers = list(network.layers)
+        while layers and isinstance(layers[0], Flatten):
+            layers = layers[1:]
+            idx += 1
+        if not layers:
+            return None
+        cp = _cell_plan(layers[0], idx)
+        if cp is None:
+            return None
+        adv = _chain_layers(Chain(tuple(layers[1:])))
+        if not adv or adv[0].din != cp.hidden:
+            return None
+        head = FusedPlan(dueling=False, in_dim=cp.hidden,
+                         in_dim_p=_r8(cp.hidden),
+                         num_actions=adv[-1].dout,
+                         num_actions_p=_r8(adv[-1].dout), val=(), adv=adv)
+        return head, cp
+    return None
+
 
 def collect_plan_for(env, network, buffer) -> Optional[CollectPlan]:
     """Static gate: env must speak the cols protocol, the network must be a
-    kernel-supported (dueling) Dense stack whose input is the flat obs, and
-    the replay row must store f32 (the kernel emits f32 fields)."""
-    net = plan_for(network)
-    if net is None:
-        return None
+    kernel-supported net — a (dueling) Dense stack on the flat obs, or an
+    LSTM/GRU cell followed by such a stack — and the replay row must store
+    f32 (the kernel emits f32 fields)."""
+    cell = None
+    if getattr(network, "recurrent", False):
+        rp = _recurrent_plan(network)
+        if rp is None:
+            return None
+        net, cell = rp
+    else:
+        net = plan_for(network)
+        if net is None:
+            return None
     for attr in ("state_to_cols", "cols_to_state", "step_cols", "reset_cols",
                  "lane_state_width", "n_uniform_step", "n_uniform_reset"):
         if not hasattr(env, attr):
@@ -82,7 +173,8 @@ def collect_plan_for(env, network, buffer) -> Optional[CollectPlan]:
     no = 1
     for s in env.obs_shape:
         no *= int(s)
-    if net.in_dim != no:
+    in_dim = cell.in_dim if cell is not None else net.in_dim
+    if in_dim != no:
         return None
     if buffer is not None and getattr(buffer, "obs_dtype", None) != \
             jnp.dtype(jnp.float32):
@@ -93,19 +185,30 @@ def collect_plan_for(env, network, buffer) -> Optional[CollectPlan]:
         return None
     nf = 2 * no + 4
     return CollectPlan(
-        net=net, no=no, no8=_r8(no), W=W, W8=_r8(W), ns=ns, nr=nr,
+        net=net, cell=cell, no=no, no8=_r8(no), W=W, W8=_r8(W), ns=ns, nr=nr,
         nu8=_r8(2 + ns + nr), nf=nf, nf8=_r8(nf),
     )
 
 
 def _pack8(network, params, plan: CollectPlan):
-    """Params -> feature-major padded tensors: w [din8, dout8], b [dout8, 1].
+    """Params -> feature-major padded tensors.
 
-    8-granular (sublane) padding — the 128-lane padding of
+    Cell first (if any): ``wi [in8, gates]``, ``wh [H, gates]``,
+    ``b [gates, 1]``; then per head Dense layer ``w [din8, dout8]``,
+    ``b [dout8, 1]``. 8-granular (sublane) padding — the 128-lane padding of
     ``fused_update._pack`` would make these tiny matmuls ~10x wasteful in a
     feature-major kernel (dims 64/4 padded to 128 on both axes).
     """
     packed = []
+    cp = plan.cell
+    if cp is not None:
+        cparams = (params["base"][cp.layer_idx]
+                   if isinstance(network, DuelingNetwork)
+                   else params[cp.layer_idx])
+        packed.append(jnp.pad(cparams["wi"].astype(jnp.float32),
+                              ((0, cp.in8 - cp.in_dim), (0, 0))))
+        packed.append(cparams["wh"].astype(jnp.float32))
+        packed.append(cparams["b"].astype(jnp.float32).reshape(cp.gates, 1))
     for (w, b), lp in zip(_dense_params(network, params, plan.net),
                           plan.net.val + plan.net.adv):
         di8, do8 = _r8(lp.din), _r8(lp.dout)
@@ -114,6 +217,37 @@ def _pack8(network, params, plan: CollectPlan):
         packed.append(jnp.pad(
             b.astype(jnp.float32), (0, do8 - lp.dout)).reshape(do8, 1))
     return packed
+
+
+def _cell_cols(cp: _CellPlan, p_get, x, state):
+    """One recurrent cell step, feature-major: ``x [in8, N]``,
+    ``state [srows, N]`` -> ``(h [H, N], new_state [srows, N])``.
+
+    Math parity with ``models/chain.py`` LSTM._cell / GRU._cell (explicit
+    f32 gates; state rows are h (and c for LSTM) stacked).
+    """
+    wi, wh, b = p_get(0), p_get(1), p_get(2)
+    H = cp.hidden
+    ct = lambda a, b_: jax.lax.dot_general(
+        a, b_, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    xi = ct(wi, x)                                   # [gates, N]
+    if cp.kind == "lstm":
+        h, c = state[:H, :], state[H: 2 * H, :]
+        g = xi + ct(wh, h) + b
+        i = jax.nn.sigmoid(g[0:H, :])
+        f = jax.nn.sigmoid(g[H: 2 * H, :])
+        gg = jnp.tanh(g[2 * H: 3 * H, :])
+        o = jax.nn.sigmoid(g[3 * H: 4 * H, :])
+        new_c = f * c + i * gg
+        new_h = o * jnp.tanh(new_c)
+        return new_h, jnp.concatenate([new_h, new_c], axis=0)
+    h = state[:H, :]
+    hh = ct(wh, h)
+    r = jax.nn.sigmoid(xi[0:H, :] + hh[0:H, :] + b[0:H, :])
+    z = jax.nn.sigmoid(xi[H: 2 * H, :] + hh[H: 2 * H, :] + b[H: 2 * H, :])
+    n = jnp.tanh(xi[2 * H:, :] + r * hh[2 * H:, :] + b[2 * H:, :])
+    new_h = (1.0 - z) * n + z * h
+    return new_h, new_h
 
 
 def _forward_cols(plan: CollectPlan, p_get, x):
@@ -153,17 +287,28 @@ def _forward_cols(plan: CollectPlan, p_get, x):
 
 
 def _collect_block(plan: CollectPlan, env, max_episode_length: int,
-                   p_get, eps, u, obs, cols, ep_step, ep_ret):
+                   p_get, eps, u, obs, cols, ep_step, ep_ret, nstate=None):
     """The whole collect step for one feature-major block — pure jnp, traced
     both inside the kernel and (by the tests) in plain XLA.
 
     Inputs: ``u [nu8, Eb]`` uniforms, ``obs [no8, Eb]``, ``cols [W8, Eb]``,
-    ``ep_step/ep_ret [1, Eb]``. Returns the block's outputs as a dict.
+    ``ep_step/ep_ret [1, Eb]``, and for recurrent plans ``nstate
+    [srows, Eb]`` (the cell's h / h;c rows). Returns the block's outputs as
+    a dict (with ``nstate_new`` when recurrent — reset where ended, parity
+    with the XLA path's net-state zeroing on episode end).
     """
     no, W, ns, nr = plan.no, plan.W, plan.ns, plan.nr
     A = plan.net.num_actions
 
-    q, rows, amask = _forward_cols(plan, p_get, obs)
+    if plan.cell is not None:
+        h, nstate_stepped = _cell_cols(plan.cell, p_get, obs[: plan.cell.in8],
+                                       nstate)
+        head_in = h
+    else:
+        nstate_stepped = None
+        head_in = obs
+    head_get = lambda k: p_get(plan.n_cell_tensors + k)
+    q, rows, amask = _forward_cols(plan, head_get, head_in)
     qm = jnp.where(amask, q, -1e30)
     maxq = jnp.max(qm, axis=0, keepdims=True)
     # first-max argmax over the action rows (jnp.argmax tie rule)
@@ -195,7 +340,7 @@ def _collect_block(plan: CollectPlan, env, max_episode_length: int,
         + jnp.where(lanes == 1, jnp.sum(ep1 * ended), 0.0)
         + jnp.where(lanes == 2, jnp.sum(ended), 0.0)
     )                                                       # [1, 128]
-    return dict(
+    out = dict(
         fields=fields,
         obs_new=obs_new,
         cols_new=cols_new,
@@ -203,6 +348,11 @@ def _collect_block(plan: CollectPlan, env, max_episode_length: int,
         ep_ret_new=jnp.where(ended > 0.5, 0.0, ret1),
         partial=partial,
     )
+    if nstate_stepped is not None:
+        # recurrent-state reset on episode end (resetstate! parity,
+        # src/solver.jl:128 / learner/actor.py net_state zeroing)
+        out["nstate_new"] = jnp.where(ended > 0.5, 0.0, nstate_stepped)
+    return out
 
 
 def _make_kernel(plan: CollectPlan, env, max_episode_length: int, nt: int,
@@ -217,10 +367,12 @@ def _make_kernel(plan: CollectPlan, env, max_episode_length: int, nt: int,
         obs_ref, cols_ref, eps_step_ref, ep_ret_ref = (
             next(it), next(it), next(it), next(it)
         )
+        nstate_ref = next(it) if plan.cell is not None else None
         p_refs = [next(it) for _ in range(nt)]
         (fields_ref, obs_out, cols_out, ep_step_out, ep_ret_out,
          partial_ref) = (next(it), next(it), next(it), next(it), next(it),
                          next(it))
+        nstate_out = next(it) if plan.cell is not None else None
 
         Eb = obs_ref.shape[1]
         if host_uniforms:
@@ -245,6 +397,7 @@ def _make_kernel(plan: CollectPlan, env, max_episode_length: int, nt: int,
             plan, env, max_episode_length, lambda k: p_refs[k][:],
             eps_ref[0, 0], u, obs_ref[:], cols_ref[:],
             eps_step_ref[:], ep_ret_ref[:],
+            nstate=None if nstate_ref is None else nstate_ref[:],
         )
 
         def put(ref, val, k):
@@ -260,37 +413,46 @@ def _make_kernel(plan: CollectPlan, env, max_episode_length: int, nt: int,
         ep_step_out[:] = out["ep_step_new"]
         ep_ret_out[:] = out["ep_ret_new"]
         partial_ref[:] = out["partial"]
+        if nstate_out is not None:
+            nstate_out[:] = out["nstate_new"]
 
     return kernel
 
 
-def _choose_eb(E: int) -> Optional[int]:
+def _choose_eb(E: int, plan: CollectPlan) -> Optional[int]:
+    # recurrent plans carry srows state + [gates, Eb] activations per block:
+    # Eb=8192 measured 16.13M scoped VMEM at the LSTM32 shape (137K over
+    # the 16M limit once the grid is deep enough to double-buffer) — halve
+    # the block for cell plans
+    cap = 4096 if plan.cell is not None else 8192
     for eb in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if E % eb == 0:
+        if eb <= cap and E % eb == 0:
             return eb
     return None
 
 
 def fused_collect(env, network, plan: CollectPlan, params, *, obs, cols,
                   ep_step, ep_ret, seeds, eps, max_episode_length: int,
-                  host_key=None, interpret: bool = False):
+                  nstate=None, host_key=None, interpret: bool = False):
     """One fused collect step over all E envs.
 
     Feature-major operands: ``obs [no8, E]`` (pad rows zero),
     ``cols [W8, E]``, ``ep_step/ep_ret [1, E]`` f32; ``seeds [1, 2]`` i32,
-    ``eps`` scalar f32. ``host_key`` forces XLA-side uniform generation
-    (always on under ``interpret`` — the TPU PRNG only exists on hardware)
-    and makes the call reproducible against ``_collect_block`` in XLA.
+    ``eps`` scalar f32; recurrent plans additionally take/return ``nstate
+    [srows, E]`` (h / h;c rows). ``host_key`` forces XLA-side uniform
+    generation (always on under ``interpret`` — the TPU PRNG only exists on
+    hardware) and makes the call reproducible against ``_collect_block`` in
+    XLA.
 
     Returns ``(fields [nf, E], obs' [no8, E], cols' [W8, E], ep_step',
-    ep_ret', totals [3])`` with totals = (ended return sum, ended length
-    sum, ended count).
+    ep_ret', totals [3])`` — plus a trailing ``nstate'`` when recurrent —
+    with totals = (ended return sum, ended length sum, ended count).
     """
     E = obs.shape[1]
-    Eb = _choose_eb(E)
+    Eb = _choose_eb(E, plan)
     assert Eb is not None, f"E={E} must be a multiple of 128"
     host_uniforms = interpret or host_key is not None
-    nt = 2 * len(plan.net.val + plan.net.adv)
+    nt = plan.n_cell_tensors + 2 * len(plan.net.val + plan.net.adv)
     p_list = _pack8(network, params, plan)
 
     kernel = _make_kernel(plan, env, max_episode_length, nt, host_uniforms)
@@ -313,29 +475,40 @@ def fused_collect(env, network, plan: CollectPlan, params, *, obs, cols,
         args.append(u_host)
     in_specs += [col(plan.no8), col(plan.W8), col(1), col(1)]
     args += [obs, cols, ep_step, ep_ret]
+    if plan.cell is not None:
+        in_specs.append(col(plan.cell.srows))
+        args.append(nstate)
     in_specs += [full(t) for t in p_list]
     args += p_list
 
-    out_specs = (
+    out_specs = [
         col(plan.nf8), col(plan.no8), col(plan.W8), col(1), col(1),
         pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-    )
-    out_shape = (
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct((plan.nf8, E), jnp.float32),
         jax.ShapeDtypeStruct((plan.no8, E), jnp.float32),
         jax.ShapeDtypeStruct((plan.W8, E), jnp.float32),
         jax.ShapeDtypeStruct((1, E), jnp.float32),
         jax.ShapeDtypeStruct((1, E), jnp.float32),
         jax.ShapeDtypeStruct((n_blk, 1, 128), jnp.float32),
-    )
-    fields, obs_n, cols_n, ep_step_n, ep_ret_n, partials = pl.pallas_call(
+    ]
+    if plan.cell is not None:
+        out_specs.append(col(plan.cell.srows))
+        out_shape.append(
+            jax.ShapeDtypeStruct((plan.cell.srows, E), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(n_blk,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*args)
+    fields, obs_n, cols_n, ep_step_n, ep_ret_n, partials = outs[:6]
     totals = jnp.sum(partials[:, 0, :3], axis=0)
-    return fields[: plan.nf], obs_n, cols_n, ep_step_n, ep_ret_n, totals
+    res = (fields[: plan.nf], obs_n, cols_n, ep_step_n, ep_ret_n, totals)
+    if plan.cell is not None:
+        res = res + (outs[6],)
+    return res

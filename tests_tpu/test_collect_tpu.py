@@ -131,3 +131,41 @@ def test_fused_collect_step_feeds_training_on_chip():
     d = np.abs(nobs[done == 0.0] - obs[done == 0.0]).sum(1)
     assert d.max() <= 1.0
     assert int(actor2.t) == E
+
+
+def test_compiled_recurrent_kernel_matches_xla_reference():
+    """DRQN-family: the in-kernel LSTM step compiled on hardware == the XLA
+    block math given identical host uniforms."""
+    from deepqlearning_tpu.models.chain import LSTM
+
+    E = 8192
+    env = SimpleGridWorld()
+    net = Chain(LSTM(2, 32), Dense(32, env.num_actions))
+    plan = collect_plan_for(env, net, None)
+    assert plan is not None and plan.cell is not None
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    st, obs = env.reset_batch(key, E)
+    obs_t = jnp.pad(obs.T, ((0, plan.no8 - plan.no), (0, 0)))
+    cols = jnp.pad(env.state_to_cols(st), ((0, plan.W8 - plan.W), (0, 0)))
+    ns0 = jax.random.normal(jax.random.PRNGKey(3), (plan.cell.srows, E)) * 0.3
+    k_u = jax.random.PRNGKey(21)
+    fields, obs_n, cols_n, _, _, totals, ns_n = jax.jit(
+        lambda p: fused_collect(
+            env, net, plan, p, obs=obs_t, cols=cols,
+            ep_step=jnp.zeros((1, E)), ep_ret=jnp.zeros((1, E)),
+            seeds=jnp.zeros((1, 2), jnp.int32), eps=0.25,
+            max_episode_length=100, nstate=ns0, host_key=k_u,
+        )
+    )(params)
+    u = jax.random.uniform(k_u, (plan.nu8, E), jnp.float32)
+    p_list = _pack8(net, params, plan)
+    ref = _collect_block(plan, env, 100, lambda k: p_list[k],
+                         jnp.float32(0.25), u, obs_t, cols,
+                         jnp.zeros((1, E)), jnp.zeros((1, E)), nstate=ns0)
+    np.testing.assert_allclose(np.asarray(fields),
+                               np.asarray(ref["fields"]), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_n),
+                               np.asarray(ref["nstate_new"]), rtol=1e-4,
+                               atol=1e-5)
