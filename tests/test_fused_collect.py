@@ -395,3 +395,48 @@ def test_recurrent_fused_loop_learns():
     ret, _, _ = basic_evaluation(
         net, carry.params, env, 128, 20, jax.random.PRNGKey(9))
     assert ret > 0.5, f"fused-collect DRQN return {ret}"
+
+
+def test_cartpole_cols_protocol():
+    """Second cols-protocol env: CartPole physics parity (deterministic
+    step — cols math must match the keyed step() exactly) and a fused
+    kernel run end-to-end."""
+    from deepqlearning_tpu.envs.cartpole import CartPole
+
+    env = CartPole()
+    N = 128
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_batch(key, N)
+    cols = env.state_to_cols(st)
+    for a in (0.0, 1.0):
+        nc, o, r, d = env.step_cols(cols, jnp.full((1, N), a), jnp.zeros((0, N)))
+        st2, o2, r2, d2 = env.step_batch(
+            st, jnp.full((N,), int(a), jnp.int32), key)
+        np.testing.assert_allclose(np.asarray(nc),
+                                   np.asarray(env.state_to_cols(st2)),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(d[0]),
+                                   np.asarray(d2).astype(np.float32))
+    # kernel == XLA reference on CartPole too
+    net = create_dueling_network(
+        Chain(Flatten(), Dense(4, 32, jnp.tanh), Dense(32, env.num_actions)))
+    plan = collect_plan_for(env, net, None)
+    assert plan is not None
+    params = net.init(key)
+    obs_t = jnp.pad(obs.T, ((0, plan.no8 - plan.no), (0, 0)))
+    colsp = jnp.pad(cols, ((0, plan.W8 - plan.W), (0, 0)))
+    k_u = jax.random.PRNGKey(5)
+    fields, obs_n, *_ = fused_collect(
+        env, net, plan, params, obs=obs_t, cols=colsp,
+        ep_step=jnp.zeros((1, N)), ep_ret=jnp.zeros((1, N)),
+        seeds=jnp.zeros((1, 2), jnp.int32), eps=0.5,
+        max_episode_length=200, host_key=k_u, interpret=True,
+    )
+    u = jax.random.uniform(k_u, (plan.nu8, N), jnp.float32)
+    p_list = _pack8(net, params, plan)
+    ref = _collect_block(plan, env, 200, lambda k: p_list[k],
+                         jnp.float32(0.5), u, obs_t, colsp,
+                         jnp.zeros((1, N)), jnp.zeros((1, N)))
+    np.testing.assert_allclose(np.asarray(fields),
+                               np.asarray(ref["fields"]), rtol=1e-6,
+                               atol=1e-6)
