@@ -36,7 +36,7 @@ def main():
     batch_size = 512
     trace_length = 8
     train_freq = 4096
-    n_iters = int(os.environ.get("BENCH_ITERS", "200"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "400"))
 
     env = SimpleGridWorld()
     network = Chain(LSTM(2, 32), Dense(32, env.num_actions))
