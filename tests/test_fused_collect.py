@@ -440,3 +440,31 @@ def test_cartpole_cols_protocol():
     np.testing.assert_allclose(np.asarray(fields),
                                np.asarray(ref["fields"]), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_mountain_car_cols_protocol():
+    """Third cols-protocol env: MountainCar deterministic-physics parity."""
+    from deepqlearning_tpu.envs.mountain_car import MountainCar
+
+    env = MountainCar()
+    N = 256
+    key = jax.random.PRNGKey(2)
+    st, obs = env.reset_batch(key, N)
+    cols = env.state_to_cols(st)
+    for a in (0.0, 1.0, 2.0):
+        nc, o, r, d = env.step_cols(cols, jnp.full((1, N), a),
+                                    jnp.zeros((0, N)))
+        st2, o2, r2, d2 = env.step_batch(
+            st, jnp.full((N,), int(a), jnp.int32), key)
+        np.testing.assert_allclose(np.asarray(nc),
+                                   np.asarray(env.state_to_cols(st2)),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(d[0]),
+                                   np.asarray(d2).astype(np.float32))
+        assert (np.asarray(r) == -1.0).all()
+    # reset bounds
+    u = jax.random.uniform(key, (1, 2048))
+    rc, ro = env.reset_cols(u)
+    p = np.asarray(rc[0])
+    assert p.min() >= -0.6 and p.max() <= -0.4
+    assert (np.asarray(rc[1]) == 0.0).all()
