@@ -468,3 +468,51 @@ def test_mountain_car_cols_protocol():
     p = np.asarray(rc[0])
     assert p.min() >= -0.6 and p.max() <= -0.4
     assert (np.asarray(rc[1]) == 0.0).all()
+
+
+def test_dueling_recurrent_collect_plan():
+    """DuelingNetwork over an LSTM base (the reference's dueling-DRQN
+    combination): plan accepted, kernel == XLA reference."""
+    from deepqlearning_tpu.models.chain import LSTM
+    from deepqlearning_tpu.models.dueling import DuelingNetwork
+
+    env = SimpleGridWorld()
+    base = Chain(LSTM(2, 16))
+    net = DuelingNetwork(
+        base=base,
+        val=Chain(Dense(16, 32, jnp.tanh), Dense(32, 1)),
+        adv=Chain(Dense(16, 32, jnp.tanh), Dense(32, env.num_actions)),
+    )
+    plan = collect_plan_for(env, net, None)
+    assert plan is not None and plan.cell is not None and plan.net.dueling
+    E = 128
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    st, obs = env.reset_batch(key, E)
+    obs_t = jnp.pad(obs.T, ((0, plan.no8 - plan.no), (0, 0)))
+    cols = jnp.pad(env.state_to_cols(st), ((0, plan.W8 - plan.W), (0, 0)))
+    ns0 = jax.random.normal(jax.random.PRNGKey(4),
+                            (plan.cell.srows, E)) * 0.2
+    k_u = jax.random.PRNGKey(6)
+    fields, _, _, _, _, _, ns_n = fused_collect(
+        env, net, plan, params, obs=obs_t, cols=cols,
+        ep_step=jnp.zeros((1, E)), ep_ret=jnp.zeros((1, E)),
+        seeds=jnp.zeros((1, 2), jnp.int32), eps=0.2,
+        max_episode_length=50, nstate=ns0, host_key=k_u, interpret=True,
+    )
+    u = jax.random.uniform(k_u, (plan.nu8, E), jnp.float32)
+    p_list = _pack8(net, params, plan)
+    ref = _collect_block(plan, env, 50, lambda k: p_list[k],
+                         jnp.float32(0.2), u, obs_t, cols,
+                         jnp.zeros((1, E)), jnp.zeros((1, E)), nstate=ns0)
+    np.testing.assert_allclose(np.asarray(fields),
+                               np.asarray(ref["fields"]), rtol=1e-6,
+                               atol=1e-6)
+    # greedy actions agree with the dueling apply over the LSTM base
+    H = plan.cell.hidden
+    state = ((ns0[:H].T, ns0[H:].T),)
+    q_ref, _ = net.apply(params, obs, state)
+    mask = np.asarray(u[0]) >= 0.2
+    acts = np.asarray(fields[2 * plan.no]).astype(int)
+    np.testing.assert_array_equal(
+        acts[mask], np.asarray(jnp.argmax(q_ref, axis=-1))[mask])
